@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship KG-construction query — deterministic synthetic
+transcripts (BASELINE.json input_hint shape, synthesized at small scale;
+no external data) -> mention detection -> windowed candidate pairs ->
+batched CNN relation scoring -> deduplicated (subj, pred, obj) triples.
+
+queries()/oracle_sql(): operator battery from SURVEY.md §2 over the
+driver-provided tables, each with a DuckDB oracle; plus rows-only
+entries for the non-SQL KG pipeline (see opennre_spark/plans/queries.py).
 """
 
 from __future__ import annotations
@@ -13,26 +16,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from opennre_spark.plans import queries as _plans
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query; driver checks rows>0 and a stable schema."""
+    from opennre_spark.pipeline import extract_triples
+    from opennre_spark.sources.transcripts import transcripts_df
+
+    transcripts = transcripts_df(spark, n_convs=60)
+    return extract_triples(transcripts, mode="sentence")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _plans.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _plans.oracle_sql()

@@ -1,0 +1,128 @@
+"""Instance encoding: (text, head span, tail span) -> dense int arrays.
+
+Reference semantics: BaseEncoder.tokenize (/root/reference/opennre/
+encoder/base_encoder.py:84-154) and the PCNN variant's extra segment
+mask (/root/reference/opennre/encoder/pcnn_encoder.py:155-172):
+
+  1. order-normalize the two char spans by start offset (rev flag,
+     base_encoder.py:102-107);
+  2. tokenize the five slices sent0|ent0|sent1|ent1|sent2 separately and
+     concatenate (base_encoder.py:108-116) — this guarantees entity
+     boundaries always fall on token boundaries;
+  3. token-level entity starts recomputed from slice lengths
+     (base_encoder.py:117-122);
+  4. ids with UNK fallback, truncate/pad to max_length with PAD
+     (base_encoder.py:127-128);
+  5. relative positions pos_k[i] = min(i - ent_start + L, 2L-1) with
+     ent_start clamped to L; pad positions get 0 (base_encoder.py:132-148);
+  6. PCNN mask: 1 for i <= min(start1,start2), 2 for i <= max, 3 after,
+     0 for pad (pcnn_encoder.py:155-170).
+
+The batch entry point `encode_batch` is what the Arrow UDF kernels
+call: python-loop tokenization per row (string work), numpy-vectorized
+position/mask construction across the whole batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .tokenization import clean_and_split, tokens_to_ids
+
+
+def encode_instance(
+    text: str,
+    h_pos: tuple[int, int],
+    t_pos: tuple[int, int],
+    vocab: dict[str, int],
+    max_length: int,
+    pad_id: int,
+    unk_id: int,
+    mask_entity: bool = False,
+):
+    """Encode one instance. Returns (token_ids, head_start, tail_start)
+    where head/tail starts are token-level, already clamped to
+    max_length. Positions/mask are built vectorized in encode_batch.
+    """
+    h0, h1 = int(h_pos[0]), int(h_pos[1])
+    t0, t1 = int(t_pos[0]), int(t_pos[1])
+    if h0 > t0:
+        (a0, a1), (b0, b1) = (t0, t1), (h0, h1)
+        rev = True
+    else:
+        (a0, a1), (b0, b1) = (h0, h1), (t0, t1)
+        rev = False
+    sent0 = clean_and_split(text[:a0])
+    ent0 = clean_and_split(text[a0:a1])
+    sent1 = clean_and_split(text[a1:b0])
+    ent1 = clean_and_split(text[b0:b1])
+    sent2 = clean_and_split(text[b1:])
+    if mask_entity:
+        ent0 = ["[UNK]"]
+        ent1 = ["[UNK]"]
+    tokens = sent0 + ent0 + sent1 + ent1 + sent2
+    first_start = len(sent0)
+    second_start = len(sent0) + len(ent0) + len(sent1)
+    if rev:
+        head_start, tail_start = second_start, first_start
+    else:
+        head_start, tail_start = first_start, second_start
+    ids = tokens_to_ids(tokens, vocab, max_length, pad_id, unk_id)
+    n_tokens = len(tokens)
+    return ids, min(head_start, max_length), min(tail_start, max_length), n_tokens
+
+
+def encode_batch(
+    texts,
+    h_starts,
+    h_ends,
+    t_starts,
+    t_ends,
+    vocab: dict[str, int],
+    max_length: int,
+    pad_id: int,
+    unk_id: int,
+    with_mask: bool = True,
+):
+    """Encode a batch. Returns dict of int64 numpy arrays:
+    token (B,L), pos1 (B,L), pos2 (B,L), mask (B,L) [if with_mask].
+    """
+    B = len(texts)
+    L = max_length
+    token = np.empty((B, L), dtype=np.int64)
+    p1_start = np.empty(B, dtype=np.int64)
+    p2_start = np.empty(B, dtype=np.int64)
+    n_real = np.empty(B, dtype=np.int64)
+    for i in range(B):
+        ids, hs, ts, n = encode_instance(
+            texts[i],
+            (h_starts[i], h_ends[i]),
+            (t_starts[i], t_ends[i]),
+            vocab,
+            L,
+            pad_id,
+            unk_id,
+        )
+        token[i] = ids
+        p1_start[i] = hs
+        p2_start[i] = ts
+        n_real[i] = min(n, L)
+
+    # Vectorized relative positions (base_encoder.py:132-148): for real
+    # token positions i < n_real, pos_k = min(i - start + L, 2L-1);
+    # padded tail gets 0.
+    idx = np.arange(L, dtype=np.int64)[None, :]  # (1, L)
+    real = idx < n_real[:, None]  # (B, L)
+    pos1 = np.minimum(idx - p1_start[:, None] + L, 2 * L - 1)
+    pos2 = np.minimum(idx - p2_start[:, None] + L, 2 * L - 1)
+    pos1 = np.where(real, pos1, 0)
+    pos2 = np.where(real, pos2, 0)
+
+    out = {"token": token, "pos1": pos1, "pos2": pos2}
+    if with_mask:
+        # pcnn_encoder.py:155-170, over real positions only.
+        seg_lo = np.minimum(p1_start, p2_start)[:, None]
+        seg_hi = np.maximum(p1_start, p2_start)[:, None]
+        mask = np.where(idx <= seg_lo, 1, np.where(idx <= seg_hi, 2, 3))
+        out["mask"] = np.where(real, mask, 0)
+    return out

@@ -1,0 +1,125 @@
+"""Bag-level aggregation over entity pairs (SURVEY.md §2.4 A1-A6).
+
+A bag = all scored instances sharing (h_id, t_id) — eval-mode
+`entpair_as_bag=True` keying (data_loader.py:160-168; bag_re.py:47,57).
+Spark's shuffle replaces the reference's scope/collate bookkeeping
+(data_loader.py:207-222): groupBy(h_id, t_id) + applyInPandas.
+
+Stable member ordering (A1): rows are sorted by (conv_id, turn_idx,
+pair_turn_idx, h_begin, t_begin) inside each group before the numpy
+math. `att` is order-sensitive in its float32 sum reductions, so this
+ordering is part of the determinism contract (SURVEY.md §7 hard parts).
+
+Deterministic size cap (A2): the reference uses random.sample
+(data_loader.py:183-190, nondeterministic); we take the first `bag_cap`
+members of the stable order — documented delta, used as a skew guard for
+hot entity pairs (north rule).
+
+`one` additionally ships as a pure-DataFrame aggregation
+(`bag_one_native`): per-relation max is associative, so Catalyst plans a
+partial (map-side) aggregate before the shuffle — preferred at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import kernels
+
+BAG_SCHEMA = T.StructType([
+    T.StructField("h_id", T.StringType(), False),
+    T.StructField("t_id", T.StringType(), False),
+    T.StructField("n_sentences", T.IntegerType(), False),
+    T.StructField("scores", T.ArrayType(T.FloatType()), False),
+])
+
+_SORT_COLS = ["conv_id", "turn_idx", "pair_turn_idx", "h_begin", "t_begin"]
+
+
+def bag_scores(
+    scored: DataFrame,
+    method: str = "att",
+    pcnn: bool = False,
+    bag_cap: int = 0,
+) -> DataFrame:
+    """Per-bag per-relation score vector via applyInPandas.
+
+    method: 'att' (bag_attention.py:136-164), 'avg'
+    (bag_average.py:117-131), or 'one' (bag_one.py:140-148).
+    'att'/'avg' need the `rep` column (score_instances(with_rep=True));
+    'one' needs only `scores`.
+    """
+    if method not in ("att", "avg", "one"):
+        raise ValueError(f"unknown bag method {method!r}")
+    needs_rep = method in ("att", "avg")
+    value_col = "rep" if needs_rep else "scores"
+    cols = ["h_id", "t_id", value_col] + [
+        c for c in _SORT_COLS if c in scored.columns
+    ]
+    sort_cols = [c for c in _SORT_COLS if c in scored.columns]
+    slim = scored.select(*cols)
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        if bag_cap > 0 and len(pdf) > bag_cap:
+            pdf = pdf.iloc[:bag_cap]
+        mat = np.asarray(pdf[value_col].tolist(), dtype=np.float32)
+        if method == "one":
+            out = kernels.bag_one_eval(mat)
+        else:
+            from ..functions.weights import default_model
+
+            _, weights = default_model(pcnn=pcnn)
+            if method == "att":
+                out = kernels.bag_attention_eval(mat, weights)
+            else:
+                out = kernels.bag_average_eval(mat, weights)
+        return pd.DataFrame(
+            {
+                "h_id": [pdf["h_id"].iloc[0]],
+                "t_id": [pdf["t_id"].iloc[0]],
+                "n_sentences": [len(pdf)],
+                "scores": [out.astype(np.float32)],
+            }
+        )
+
+    return slim.groupBy("h_id", "t_id").applyInPandas(agg, schema=BAG_SCHEMA)
+
+
+def bag_one_native(scored: DataFrame) -> DataFrame:
+    """`one` aggregator as native Spark (A6): posexplode the per-sentence
+    softmax scores and take per-relation max. Fully associative ->
+    map-side partial aggregation, no Python in the agg path.
+    Returns (h_id, t_id, rel_id, score).
+    """
+    per_rel = scored.select(
+        "h_id", "t_id", F.posexplode("scores").alias("rel_id", "score")
+    )
+    return per_rel.groupBy("h_id", "t_id", "rel_id").agg(
+        F.max("score").alias("score")
+    )
+
+
+def explode_bag_scores(bags: DataFrame, id2rel: dict[int, str]) -> DataFrame:
+    """Bag score vectors -> (h_id, t_id, relation, score) rows for every
+    non-NA relation — the reference's prediction-record emission
+    (bag_re.py:172-179) incl. the NA filter (P3).
+    """
+    spark = bags.sparkSession
+    rels = spark.createDataFrame(
+        [(i, r) for i, r in sorted(id2rel.items())], "rel_id int, relation string"
+    )
+    per_rel = bags.select(
+        "h_id", "t_id", "n_sentences",
+        F.posexplode("scores").alias("rel_id", "score"),
+    )
+    return (
+        per_rel.join(F.broadcast(rels), "rel_id")
+        .filter(F.col("relation") != "NA")
+        .select("h_id", "t_id", "relation", "score", "n_sentences")
+    )

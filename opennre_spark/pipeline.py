@@ -1,0 +1,90 @@
+"""End-to-end KG-construction pipeline (north rule): transcripts ->
+mentions -> candidate pairs -> batched relation scoring -> triples.
+
+Spark shape (SURVEY.md §3.1/3.2):
+  sentence mode: one shuffle (candidate self-join) + one aggregation
+  shuffle for triple dedup; everything else narrow.
+  bag modes: adds the groupBy(h_id, t_id) bag shuffle — the skew point,
+  guarded by the deterministic bag cap (operators/bags.py) and AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import config, relations
+from .operators.bags import bag_scores, explode_bag_scores
+from .operators.candidates import candidate_pairs
+from .operators.mentions import detect_mentions
+from .operators.scoring import score_instances
+
+
+def na_rel_id(rel2id: dict[str, int]) -> int | None:
+    """First negative-label name present in the schema (P4 semantics,
+    data_loader.py:67-74)."""
+    for name in config.NEG_LABEL_NAMES:
+        if name in rel2id:
+            return rel2id[name]
+    return None
+
+
+def _relation_dim(spark: SparkSession, id2rel: dict[int, str]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, r) for i, r in sorted(id2rel.items())], "pred_rel_id int, relation string"
+    )
+
+
+def extract_triples(
+    transcripts: DataFrame,
+    mode: str = "sentence",
+    window_turns: int = config.PAIR_WINDOW_TURNS,
+    threshold: float = config.SCORE_THRESHOLD,
+    bag_cap: int = 0,
+    pcnn: bool = False,
+) -> DataFrame:
+    """Emit the deduplicated (subj, pred, obj) triple table.
+
+    mode: 'sentence' (argmax per instance, SoftmaxNN.infer semantics,
+    softmax_nn.py:35-39) or 'att'/'avg'/'one' (bag-level distant
+    supervision, BagRE.eval_model semantics, bag_re.py:154-181).
+
+    Triples carry score + support lineage; uniqueness on (subj, pred,
+    obj) mirrors the facts-dict idempotent insert
+    (data_loader.py:156-164).
+    """
+    spark = transcripts.sparkSession
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions, window_turns=window_turns)
+    neg_id = na_rel_id(relations.REL2ID)
+
+    if mode == "sentence":
+        scored = score_instances(instances, pcnn=pcnn, with_rep=False)
+        preds = scored.filter(F.col("pred_rel_id") != F.lit(neg_id))
+        rels = _relation_dim(spark, relations.ID2REL)
+        named = preds.join(F.broadcast(rels), "pred_rel_id")
+        return (
+            named.groupBy(
+                F.col("h_id").alias("subj"),
+                F.col("relation").alias("pred"),
+                F.col("t_id").alias("obj"),
+            )
+            .agg(
+                F.max("pred_score").alias("score"),
+                F.count(F.lit(1)).alias("n_support"),
+            )
+        )
+
+    scored = score_instances(instances, pcnn=pcnn, with_rep=(mode != "one"))
+    bags = bag_scores(scored, method=mode, pcnn=pcnn, bag_cap=bag_cap)
+    per_rel = explode_bag_scores(bags, relations.ID2REL)
+    return (
+        per_rel.filter(F.col("score") >= F.lit(threshold))
+        .select(
+            F.col("h_id").alias("subj"),
+            F.col("relation").alias("pred"),
+            F.col("t_id").alias("obj"),
+            "score",
+            F.col("n_sentences").alias("n_support"),
+        )
+    )

@@ -1,0 +1,447 @@
+"""Driver-contract query battery: every SQL-expressible operator from
+SURVEY.md §2 as a (Spark plan, DuckDB oracle SQL) pair over the
+driver-provided tables (TESTDATA.md), plus rows-only entries for the
+non-SQL KG pipeline itself.
+
+Determinism rules applied throughout (floats must hash identically
+across Spark and DuckDB):
+  - ratios of integers: exact IEEE division, emitted raw;
+  - money aggregates: summed as decimal(18,2) (exact), then cast to
+    double for a stable schema;
+  - accumulation-order-sensitive double sums (AUC, centroids, cosine):
+    rounded to 6 decimals in BOTH engines;
+  - every ranking carries a total tie-break key.
+
+Each Spark callable takes (spark, sf_dir) and registers the parquet
+tables it needs as temp views; oracle SQL strings run against DuckDB
+views of the same files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _reg(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# Each entry: name -> (spark_sql | callable, duckdb_sql | None, tables)
+# When spark side is a plain SQL string it runs verbatim via spark.sql.
+_SPECS: dict[str, tuple] = {}
+
+
+def _spec(name: str, tables: list[str], spark_sql: str, duck_sql: str | None = None):
+    """Register a query that is the same (or dialect-adjusted) SQL in
+    both engines. duck_sql=None means dialects agree verbatim."""
+    _SPECS[name] = (spark_sql, duck_sql if duck_sql is not None else spark_sql, tables)
+
+
+# --- A6: bag max — per-relation max over per-sentence scores is a pure
+# groupBy().max() (bag_one.py:140-148) ---------------------------------
+_spec(
+    "a6_bag_max",
+    ["lineitem"],
+    """
+    SELECT l_returnflag AS rel, l_linestatus AS grp,
+           max(l_extendedprice) AS max_score,
+           min(l_extendedprice) AS min_score,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# --- A7: class-frequency weights 1/(count+1)^0.05 (data_loader.py:147,174-176)
+_spec(
+    "a7_class_freq_weights",
+    ["events"],
+    """
+    SELECT event_type AS relation, count(*) AS cnt,
+           round(1.0 / pow(CAST(count(*) AS DOUBLE) + 1.0, 0.05), 6) AS weight
+    FROM events GROUP BY event_type
+    """,
+)
+
+# --- A9: sentence eval — acc + micro P/R/F1 with NA-negative exclusion
+# (data_loader.py:53-103); gold/pred derived deterministically ----------
+_A9_BODY = """
+    WITH labeled AS (
+      SELECT event_type AS gold,
+             CASE WHEN event_id % 7 = 0 THEN 'NA'
+                  WHEN event_id % 11 = 0 THEN 'click'
+                  ELSE event_type END AS pred
+      FROM events
+    ),
+    c AS (
+      SELECT
+        count(*) AS total,
+        CAST(sum(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+        CAST(sum(CASE WHEN gold = pred AND gold <> 'NA' THEN 1 ELSE 0 END) AS BIGINT) AS correct_positive,
+        CAST(sum(CASE WHEN gold <> 'NA' THEN 1 ELSE 0 END) AS BIGINT) AS gold_positive,
+        CAST(sum(CASE WHEN pred <> 'NA' THEN 1 ELSE 0 END) AS BIGINT) AS pred_positive
+      FROM labeled
+    )
+    SELECT
+      CAST(correct AS DOUBLE) / total AS acc,
+      CAST(correct_positive AS DOUBLE) / pred_positive AS micro_p,
+      CAST(correct_positive AS DOUBLE) / gold_positive AS micro_r,
+      round(2.0 * (CAST(correct_positive AS DOUBLE) / pred_positive)
+                * (CAST(correct_positive AS DOUBLE) / gold_positive)
+          / ((CAST(correct_positive AS DOUBLE) / pred_positive)
+           + (CAST(correct_positive AS DOUBLE) / gold_positive)), 6) AS micro_f1
+    FROM c
+"""
+_spec("a9_sentence_eval", ["events"], _A9_BODY)
+
+# --- W1: global ranked predictions with total tie-break (data_loader.py:250)
+_spec(
+    "w1_ranked_predictions",
+    ["events"],
+    """
+    SELECT event_id, value AS score,
+           CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rank
+    FROM events
+    ORDER BY rank
+    LIMIT 500
+    """,
+)
+
+# --- W2: running precision/recall curve (data_loader.py:258-275) -------
+_W2_BODY = """
+    WITH ranked AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_correct,
+             CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rank,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (ORDER BY value DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_correct
+      FROM events
+    ),
+    tot AS (SELECT CAST(sum(is_correct) AS BIGINT) AS total_correct FROM ranked)
+    SELECT rank, cum_correct,
+           CAST(cum_correct AS DOUBLE) / rank AS prec,
+           CAST(cum_correct AS DOUBLE) / (SELECT total_correct FROM tot) AS rec
+    FROM ranked
+"""
+_spec("w2_pr_curve", ["events"], _W2_BODY)
+
+# --- W3: AUC by trapezoid over the curve (data_loader.py:277; sklearn auc)
+_spec(
+    "w3_auc",
+    ["events"],
+    f"""
+    WITH curve AS ({_W2_BODY}),
+    steps AS (
+      SELECT prec, rec,
+             lag(prec) OVER (ORDER BY rank) AS lprec,
+             lag(rec) OVER (ORDER BY rank) AS lrec
+      FROM curve
+    )
+    SELECT round(sum((rec - lrec) * (prec + lprec) / 2.0), 6) AS auc
+    FROM steps WHERE lrec IS NOT NULL
+    """,
+)
+
+# --- W5: P@k (data_loader.py:310) --------------------------------------
+_spec(
+    "w5_p_at_k",
+    ["events"],
+    f"""
+    WITH curve AS ({_W2_BODY})
+    SELECT rank AS k, prec AS p_at_k FROM curve WHERE rank IN (100, 200, 300)
+    """,
+)
+
+# --- W4: max-F1 over the curve + best threshold (data_loader.py:280-281)
+_spec(
+    "w4_max_f1",
+    ["events"],
+    f"""
+    WITH curve AS ({_W2_BODY})
+    SELECT round(max(2.0 * prec * rec / (prec + rec + 1e-20)), 6) AS max_micro_f1
+    FROM curve
+    """,
+)
+
+# --- J2: semi/anti join — prediction-vs-facts membership (data_loader.py:267-269)
+_spec(
+    "j2_semi_join",
+    ["orders", "lineitem"],
+    """
+    SELECT o.o_orderstatus AS status, count(*) AS n
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderstatus
+    """,
+)
+_spec(
+    "j2_anti_join",
+    ["orders", "lineitem"],
+    """
+    SELECT o.o_orderstatus AS status, count(*) AS n
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderstatus
+    """,
+)
+
+# --- J3: windowed self-join (candidate generation shape) ---------------
+# epoch-seconds arithmetic keeps the dialects identical.
+_spec(
+    "j3_window_self_join",
+    ["events"],
+    """
+    SELECT a.event_type AS etype_a, b.event_type AS etype_b, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND CAST(CAST(b.ts AS TIMESTAMP) AS BIGINT)
+       - CAST(CAST(a.ts AS TIMESTAMP) AS BIGINT) BETWEEN 1 AND 21600
+    GROUP BY a.event_type, b.event_type
+    """,
+    duck_sql="""
+    SELECT a.event_type AS etype_a, b.event_type AS etype_b, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) BETWEEN 1 AND 21600
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+
+# --- W7: top-k per group (train-time in-bag argmax shape, bag_one.py:120-126)
+_spec(
+    "w7_topk_per_group",
+    ["orders"],
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders
+    ) t WHERE rnk <= 3
+    """,
+)
+
+# --- relational shell: TPC-H Q1-style pricing summary (exact decimals) -
+_spec(
+    "q1_pricing_summary",
+    ["lineitem"],
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# --- training-data ops: exact dedup (hash-groupBy) ----------------------
+_spec(
+    "dedup_exact",
+    ["documents"],
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+    FROM documents
+    """,
+)
+
+# --- dedup: canonical keep-first representative per duplicate group ----
+_spec(
+    "dedup_keep_first",
+    ["documents"],
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_members
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+
+# --- text analysis: token counting ------------------------------------
+_spec(
+    "text_token_count",
+    ["documents"],
+    r"""
+    SELECT doc_id, CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens, n_chars
+    FROM documents
+    """,
+    duck_sql=r"""
+    SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens, n_chars
+    FROM documents
+    """,
+)
+
+# --- text analysis: quality scoring (stopword + alpha ratios) ----------
+_spec(
+    "text_quality_score",
+    ["documents"],
+    r"""
+    SELECT doc_id,
+           round(CAST(size(filter(split(lower(trim(text)), '\\s+'),
+                        t -> t IN ('the','a','and','of','to','in','is','for'))) AS DOUBLE)
+                 / size(split(trim(text), '\\s+')), 6) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio
+    FROM documents
+    """,
+    duck_sql=r"""
+    SELECT doc_id,
+           round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        t -> t IN ('the','a','and','of','to','in','is','for'))) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio
+    FROM documents
+    """,
+)
+
+# --- text analysis: n-gram-overlap language-ID heuristic ----------------
+# (deterministic stopword-list vote; synthetic corpus is word-soup so the
+# scores matter more than the labels)
+_spec(
+    "lang_id_heuristic",
+    ["documents"],
+    r"""
+    SELECT doc_id,
+           CAST(size(filter(split(lower(trim(text)), '\\s+'),
+                t -> t IN ('the','and','of','is','query','data'))) AS BIGINT) AS en_hits,
+           CAST(size(filter(split(lower(trim(text)), '\\s+'),
+                t -> t IN ('der','und','die','das','nicht'))) AS BIGINT) AS de_hits
+    FROM documents
+    """,
+    duck_sql=r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> t IN ('the','and','of','is','query','data'))) AS en_hits,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> t IN ('der','und','die','das','nicht'))) AS de_hits
+    FROM documents
+    """,
+)
+
+# --- similarity search: brute-force cosine top-k vs a query vector -----
+# double-precision products in both engines; rounded before ranking with
+# a vec_id tie-break so the top-k set is deterministic.
+_spec(
+    "ann_cosine_topk",
+    ["embeddings"],
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             aggregate(zip_with(e.embedding, q.qv,
+                                (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dot,
+             sqrt(aggregate(transform(e.embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS na,
+             sqrt(aggregate(transform(q.qv,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS nb
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim
+    FROM scored
+    ORDER BY round(dot / (na * nb), 6) DESC, vec_id
+    LIMIT 10
+    """,
+    duck_sql="""
+    WITH q AS (
+      SELECT i, CAST(v AS DOUBLE) AS v FROM (
+        SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0)
+    ),
+    ex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    scored AS (
+      SELECT ex.vec_id,
+             sum(ex.v * q.v) AS dot,
+             sqrt(sum(ex.v * ex.v)) AS na,
+             sqrt(sum(q.v * q.v)) AS nb
+      FROM ex JOIN q USING (i)
+      GROUP BY ex.vec_id
+    )
+    SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim
+    FROM scored
+    ORDER BY round(dot / (na * nb), 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+
+# --- embeddings: per-label centroid (vector aggregate shape) ------------
+_spec(
+    "embedding_centroid",
+    ["embeddings"],
+    """
+    SELECT label, dim, round(avg(v), 6) AS centroid_v
+    FROM (
+      SELECT label, posexplode(embedding) AS (dim, v) FROM embeddings
+    ) t
+    GROUP BY label, dim
+    """,
+    duck_sql="""
+    SELECT label, dim, round(avg(v), 6) AS centroid_v
+    FROM (
+      SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ) t
+    GROUP BY label, dim
+    """,
+)
+
+
+def _make_sql_query(name: str):
+    spark_sql, _, tables = _SPECS[name]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _reg(spark, sf_dir, *tables)
+        return spark.sql(spark_sql)
+
+    run.__name__ = f"q_{name}"
+    return run
+
+
+# --- non-SQL-expressible entries: the KG pipeline itself ----------------
+
+def _kg_query(mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..pipeline import extract_triples
+        from ..sources.transcripts import transcripts_df
+
+        # deterministic synthetic transcripts (BASELINE.json: synthesize
+        # the input-shaped table at small scale; no external data)
+        n = 80 if "0.01" in sf_dir else 40
+        t = transcripts_df(spark, n)
+        thr = 0.15 if mode != "sentence" else 0.5
+        return extract_triples(t, mode=mode, threshold=thr)
+
+    run.__name__ = f"q_kg_{mode}"
+    return run
+
+
+def queries() -> dict:
+    out = {name: _make_sql_query(name) for name in _SPECS}
+    out["kg_triples_sentence"] = _kg_query("sentence")
+    out["kg_triples_bag_att"] = _kg_query("att")
+    out["kg_triples_bag_one"] = _kg_query("one")
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec[1] for name, spec in _SPECS.items()}

@@ -1,0 +1,122 @@
+"""Relation schema, entity gazetteer and sentence templates for the
+deterministic synthetic transcripts corpus (FIXTURES.md F1-F3).
+
+Schema format follows the reference's NYT-style rel2id contract: 'NA'
+must map to id 0 — the reference eval hardcodes positive labels as
+range(1, N) (/root/reference/opennre/framework/data_loader.py:295-301)
+and detects the negative class by name (data_loader.py:67-74).
+"""
+
+from __future__ import annotations
+
+# --- relation schema (FIXTURES.md F3: reduced 8-relation NYT-style) ---
+REL2ID: dict[str, int] = {
+    "NA": 0,
+    "founder_of": 1,
+    "ceo_of": 2,
+    "headquartered_in": 3,
+    "born_in": 4,
+    "capital_of": 5,
+    "employee_of": 6,
+    "spouse_of": 7,
+}
+ID2REL: dict[int, str] = {v: k for k, v in REL2ID.items()}
+
+# --- gazetteer (FIXTURES.md F2) -------------------------------------
+# (entity_id, surface_name, canonical_id). Near-duplicate surface forms
+# share a canonical id to exercise MinHash-LSH linking + connected
+# components downstream.
+_PEOPLE = [
+    "Ada Moreno", "Bruno Falk", "Carla Jensen", "Derek Osei", "Elif Aydin",
+    "Farid Khan", "Greta Lindqvist", "Hiro Tanaka", "Ines Duarte", "Jonas Weber",
+    "Keiko Mori", "Luca Bianchi", "Mara Sorescu", "Nadia Belmont", "Owen Pratt",
+]
+_ORGS = [
+    "Helix Dynamics", "Quanta Forge", "Bluepine Labs", "Vextra Systems",
+    "Marlowe Group", "Northgate Works", "Citrine Analytics", "Pallas Robotics",
+    "Riverbend Media", "Solvex Energy",
+]
+_PLACES = [
+    "Arvalon", "Brimhaven", "Calder Bay", "Dunmore", "Eastvale",
+    "Fenwick", "Graystone", "Holloway", "Ironport", "Jarrow",
+]
+
+
+def gazetteer() -> list[tuple[str, str, str]]:
+    rows: list[tuple[str, str, str]] = []
+    for i, name in enumerate(_PEOPLE):
+        canon = f"P{i:03d}"
+        rows.append((f"P{i:03d}a", name, canon))
+        # surface variants sharing the canonical id (linking fixtures)
+        first, last = name.split(" ", 1)
+        rows.append((f"P{i:03d}b", f"{first[0]}. {last}", canon))
+        if i % 3 == 0:
+            rows.append((f"P{i:03d}c", name.lower(), canon))
+    for i, name in enumerate(_ORGS):
+        canon = f"O{i:03d}"
+        rows.append((f"O{i:03d}a", name, canon))
+        if i % 2 == 0:
+            rows.append((f"O{i:03d}b", name.upper(), canon))
+    for i, name in enumerate(_PLACES):
+        rows.append((f"L{i:03d}a", name, f"L{i:03d}"))
+    return rows
+
+
+# --- templates (FIXTURES.md F1) -------------------------------------
+# Positive templates: {h}/{t} slots; relation is the gold label for the
+# directed (h, t) pair. kinds constrain which gazetteer pools h/t draw
+# from: P=person, O=org, L=place.
+POSITIVE_TEMPLATES: list[tuple[str, str, str, str]] = [
+    ("founder_of", "P", "O", "{h} founded {t} back in 1998."),
+    ("founder_of", "P", "O", "As everyone knows, {h} started {t} from a garage."),
+    ("ceo_of", "P", "O", "{h} is the chief executive of {t} these days."),
+    ("ceo_of", "P", "O", "The board confirmed {h} as CEO of {t}."),
+    ("headquartered_in", "O", "L", "{h} is headquartered in {t}."),
+    ("headquartered_in", "O", "L", "The main office of {h} sits in {t}."),
+    ("born_in", "P", "L", "{h} was born in {t} in the seventies."),
+    ("capital_of", "L", "L", "{h} is the capital of the {t} region."),
+    ("employee_of", "P", "O", "{h} works at {t} on the data team."),
+    ("spouse_of", "P", "P", "{h} married {t} last spring."),
+]
+# Negative templates: two entities, no relation expressed -> gold NA.
+NEGATIVE_TEMPLATES: list[tuple[str, str, str]] = [
+    ("P", "O", "{h} has never even visited the {t} booth."),
+    ("P", "P", "{h} and {t} appeared on the same panel."),
+    ("O", "L", "{h} shipped a demo while {t} hosted the expo."),
+]
+# Filler turns: zero or one mention, no pair (candidate-negative rows).
+FILLER_TEMPLATES: list[str] = [
+    "Let me check the docs for that.",
+    "The deploy finished without errors.",
+    "{h} was mentioned in the changelog.",
+    "Could you rerun the pipeline with more memory?",
+    "{h} gave a keynote nobody recorded.",
+]
+
+
+def vocabulary_words() -> list[str]:
+    """Every word that can appear in a synthetic transcript (template
+    words + gazetteer tokens) plus a few decoys that stay out-of-vocab
+    when lowercased differently. Order is deterministic.
+    """
+    words: list[str] = []
+    seen = set()
+
+    def add(text: str):
+        from .functions.tokenization import clean_and_split
+
+        for tok in clean_and_split(text):
+            lw = tok.lower()
+            if lw not in seen:
+                seen.add(lw)
+                words.append(lw)
+
+    for _, _, _, tpl in POSITIVE_TEMPLATES:
+        add(tpl.replace("{h}", " ").replace("{t}", " "))
+    for _, _, tpl in NEGATIVE_TEMPLATES:
+        add(tpl.replace("{h}", " ").replace("{t}", " "))
+    for tpl in FILLER_TEMPLATES:
+        add(tpl.replace("{h}", " "))
+    for _, name, _ in gazetteer():
+        add(name)
+    return words

@@ -1,0 +1,138 @@
+"""End-to-end Spark pipeline tests: determinism, parity vs the oracle
+(the P/R >= 0.95 gate — we assert exact decision parity, P/R = 1.0),
+and bag aggregation correctness through the applyInPandas path.
+"""
+
+import numpy as np
+import pytest
+
+from opennre_spark import relations
+from opennre_spark.operators.bags import bag_one_native, bag_scores
+from opennre_spark.operators.candidates import candidate_pairs
+from opennre_spark.operators.mentions import detect_mentions
+from opennre_spark.operators.scoring import score_instances
+from opennre_spark.pipeline import extract_triples
+from opennre_spark.sources.transcripts import (
+    gold_df,
+    transcripts_df,
+)
+from tests.oracle import reference_math as om
+
+N_CONVS = 30
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return transcripts_df(spark, N_CONVS).cache()
+
+
+def test_generator_partitioning_invariance(spark):
+    a = transcripts_df(spark, 12, partitions=1).collect()
+    b = transcripts_df(spark, 12, partitions=7).collect()
+    key = lambda r: (r.conv_id, r.turn_idx)
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert len(a) > 12 * 4
+
+
+def test_mentions_find_gold_pairs(spark, transcripts):
+    """Every gold-annotated turn must yield both its mentions."""
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    got = {
+        (r.conv_id, r.turn_idx, r.entity_id)
+        for r in mentions.collect()
+    }
+    gold = gold_df(spark, N_CONVS).collect()
+    assert len(gold) > 20
+    for g in gold:
+        assert (g.conv_id, g.turn_idx, g.h_id) in got, g
+        assert (g.conv_id, g.turn_idx, g.t_id) in got, g
+
+
+def test_sentence_scoring_parity(spark, transcripts):
+    """Spark-scored decisions == oracle decisions on identical instances
+    (exact-match parity => P/R = 1.0 >= 0.95 target)."""
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions)
+    rows = score_instances(instances).collect()
+    assert len(rows) > 50
+    vocab, W = __import__(
+        "opennre_spark.functions.weights", fromlist=["default_model"]
+    ).default_model()
+    mismatch = 0
+    for r in rows[:200]:
+        item = {
+            "text": r.text,
+            "h": {"pos": [r.h_begin, r.h_end]},
+            "t": {"pos": [r.t_begin, r.t_end]},
+        }
+        rel, score = om.oracle_infer(item, vocab, W, relations.ID2REL, 40)
+        if relations.ID2REL[r.pred_rel_id] != rel or abs(r.pred_score - score) > 1e-6:
+            mismatch += 1
+    assert mismatch == 0
+
+
+def test_extract_triples_sentence_mode(spark, transcripts):
+    triples = extract_triples(transcripts, mode="sentence")
+    rows = triples.collect()
+    assert len(rows) > 0
+    assert set(triples.columns) == {"subj", "pred", "obj", "score", "n_support"}
+    assert all(r.pred != "NA" for r in rows)
+    # dedup invariant: (subj, pred, obj) unique (facts-set semantics)
+    keys = [(r.subj, r.pred, r.obj) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_bag_att_parity_through_spark(spark, transcripts):
+    """applyInPandas bag attention == oracle on the same stable-ordered
+    reps (A1 stable order + A4 math)."""
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions)
+    scored = score_instances(instances, with_rep=True).cache()
+    bag_rows = {
+        (r.h_id, r.t_id): np.array(r.scores, dtype=np.float32)
+        for r in bag_scores(scored, method="att").collect()
+    }
+    # rebuild bags driver-side with the same stable ordering
+    import pandas as pd
+
+    pdf = scored.select(
+        "h_id", "t_id", "conv_id", "turn_idx", "pair_turn_idx",
+        "h_begin", "t_begin", "rep",
+    ).toPandas()
+    vocab, W = __import__(
+        "opennre_spark.functions.weights", fromlist=["default_model"]
+    ).default_model()
+    n_checked = 0
+    for (h, t), grp in pdf.groupby(["h_id", "t_id"]):
+        grp = grp.sort_values(
+            ["conv_id", "turn_idx", "pair_turn_idx", "h_begin", "t_begin"],
+            kind="mergesort",
+        )
+        rep = np.asarray(grp["rep"].tolist(), dtype=np.float32)
+        want = om.oracle_bag_att(rep, W)
+        np.testing.assert_allclose(bag_rows[(h, t)], want, atol=2e-6, rtol=1e-4)
+        n_checked += 1
+    assert n_checked > 10
+    scored.unpersist()
+
+
+def test_bag_one_native_equals_udf(spark, transcripts):
+    """A6 both ways: native Spark agg == applyInPandas kernel."""
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions)
+    scored = score_instances(instances).cache()
+    native = {
+        (r.h_id, r.t_id, r.rel_id): r.score for r in bag_one_native(scored).collect()
+    }
+    viaudf = bag_scores(scored, method="one").collect()
+    for r in viaudf:
+        for rel_id, s in enumerate(r.scores):
+            assert abs(native[(r.h_id, r.t_id, rel_id)] - s) < 1e-7
+    scored.unpersist()
+
+
+def test_extract_triples_bag_modes(spark, transcripts):
+    for mode in ("att", "avg", "one"):
+        triples = extract_triples(transcripts, mode=mode, threshold=0.15)
+        rows = triples.limit(5).collect()
+        assert len(rows) > 0, mode
