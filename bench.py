@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline set:
+  - kg_sentence / kg_bag_att / kg_bag_one: the flagship KG pipeline
+    (synthetic transcripts at a size tied to the SF, deterministic)
+  - a representative slice of the SQL operator battery on the
+    driver-provided tables.
+
+Extra keys beyond the driver contract: turns, triples, triples_per_sec
+(the north-rule throughput unit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+# conversations per SF: ~9.6 turns/conv avg -> sf0.1 ≈ 38k turns
+N_CONVS = {0.001: 100, 0.01: 800, 0.1: 4000}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_from_dir(sf_dir)
+    n_convs = N_CONVS.get(sf, max(100, int(sf * 40000)))
+
+    from opennre_spark.pipeline import extract_triples
+    from opennre_spark.plans import queries as plans
+    from opennre_spark.session import get_spark
+    from opennre_spark.sources.transcripts import transcripts_df
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the JVM + Python workers once (excluded from timings)
+    transcripts_df(spark, 8).count()
+
+    transcripts = transcripts_df(spark, n_convs)
+    t0 = time.time()
+    n_turns = transcripts.count()
+    extras["gen_turns_sec"] = round(time.time() - t0, 3)
+    extras["turns"] = n_turns
+
+    t0 = time.time()
+    n_triples = extract_triples(transcripts, mode="sentence").count()
+    dt = time.time() - t0
+    timings["kg_sentence"] = round(dt, 3)
+    extras["triples"] = n_triples
+    extras["turns_per_sec"] = round(n_turns / dt, 1)
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+
+    t0 = time.time()
+    extract_triples(transcripts, mode="one", threshold=0.15).count()
+    timings["kg_bag_one"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    extract_triples(transcripts, mode="att", threshold=0.15).count()
+    timings["kg_bag_att"] = round(time.time() - t0, 3)
+
+    qs = plans.queries()
+    for name in (
+        "q1_pricing_summary",
+        "w2_pr_curve",
+        "w3_auc",
+        "j3_window_self_join",
+        "a6_bag_max",
+        "ann_cosine_topk",
+        "dedup_exact",
+        "text_quality_score",
+        "embedding_centroid",
+    ):
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

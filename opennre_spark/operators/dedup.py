@@ -1,0 +1,238 @@
+"""Document deduplication for large-scale training-data pipelines:
+exact (hash groupBy), MinHash+LSH near-dup, SimHash near-dup, and
+token-n-gram Jaccard verification. All hot paths are pure Spark SQL
+expressions (JVM codegen) — no Python UDFs.
+
+Scale shape (100 TB corpus):
+  - exact: one shuffle on md5(text) — partial agg applies.
+  - minhash/simhash: signatures are a narrow projection; the candidate
+    join is an equi-join on (band, band_hash | band bits), linear in
+    docs x bands; only blocked candidates pay the verification cost.
+  - clustering reuses the connected-components operator (linking.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .linking import _MAX, _P, connected_components
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per identical text (deterministic
+    representative). Returns (doc_id, n_members) of kept docs.
+    One shuffle on the content hash; map-side partial aggregation.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .drop("__h")
+    )
+
+
+def _token_shingles(text_col: str, n: int = 3):
+    """Distinct n-token shingles (lowercased, whitespace tokens)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    m = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(m - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 20,
+    num_bands: int = 5,
+    seed: int = 101,
+) -> DataFrame:
+    """(doc_id, shingles, band, band_hash) — banded MinHash over token
+    n-gram shingles; same affine family as entity linking
+    (linking.shingle_minhash), document granularity.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+    rows_per_band = num_hashes // num_bands
+
+    df = docs.select(id_col, _token_shingles(text_col, shingle_n).alias("__sh"))
+    df = df.withColumn(
+        "__hv", F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MAX)))
+    )
+
+    def _affine(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
+
+    sig = [
+        F.array_min(F.transform("__hv", _affine(a, b))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    df = df.select(id_col, "__sh", *sig)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"__m{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for bi in range(num_bands)
+        ]
+    )
+    return df.select(id_col, "__sh", F.explode(bands).alias("b")).select(
+        id_col, "__sh", "b.band", "b.band_hash"
+    )
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard): LSH blocking then
+    exact n-gram Jaccard verification on candidates only."""
+    sigs = minhash_signatures(docs, id_col, text_col, **kwargs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return cand.select("id_a", "id_b", jac).filter(
+        F.col("jaccard") >= F.lit(jaccard_threshold)
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """(doc_id, cluster_id): cluster_id = min doc id of the near-dup
+    cluster (connected components over dup pairs); singleton docs map to
+    themselves. Filter `doc_id == cluster_id` to keep representatives.
+    """
+    pairs = minhash_dup_pairs(docs, id_col, text_col, jaccard_threshold, **kwargs)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, entirely in Spark SQL
+    higher-order functions: per-token xxhash64 -> per-bit +/-1 votes ->
+    sign -> packed long. Returns (doc_id, simhash).
+    """
+    # Per-bit masks as int64 literals (pyspark's shiftright/shiftleft
+    # accept only Python-int shift amounts, not a lambda variable).
+    # Bit 63's mask is the sign bit: -(2**63) in two's complement.
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                mask_arr,
+                lambda m: F.when(
+                    F.xxhash64(t).bitwiseAND(m) != 0, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            mask_arr,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    return docs.select(id_col, packed.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on each of four 16-bit bands
+    (pigeonhole: hamming <= 3 pairs share at least one exact band),
+    verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
+    sh = simhash(docs, id_col, text_col)
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_bits"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= F.lit(max_hamming))

@@ -1,0 +1,258 @@
+"""Entity linking & canonicalization (SURVEY.md §2.3 J4, north_star):
+mention surface forms -> candidate duplicate edges via MinHash-LSH
+blocking -> connected components -> canonical entity ids.
+
+The reference has NO entity linking — instance ids come pre-assigned
+in its datasets (data_loader.py:162 reads item['h']['id']); this is the
+KG-construction capability the north rule adds on top.
+
+Scale design:
+  - blocking: character-shingle MinHash signatures per distinct surface
+    form, banded (LSH): equal band-hash -> candidate pair. Signatures
+    are computed in ONE pass over the *distinct names* (tiny vs corpus),
+    the band explode is linear, and the candidate join is an equi-join
+    on (band, band_hash) — no O(n^2) pair enumeration.
+  - verification: candidate pairs filtered by exact Jaccard over
+    shingle sets (cheap — only on blocked candidates).
+  - clustering: connected components via alternating large-star /
+    small-star DataFrame joins (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SOCC'14), with localCheckpoint() each
+    round to truncate lineage. No GraphFrames dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Affine MinHash family over a 31-bit domain: keeping the base hash and
+# the multipliers under 2^31 bounds a*h + b < 2^62 + 2^31, safely inside
+# int64 (Spark 4 runs ANSI mode — long overflow is an error, not a wrap).
+_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MAX = 2**31
+
+
+def shingle_minhash(
+    names: DataFrame,
+    name_col: str = "name",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 16,
+    seed: int = 13,
+) -> DataFrame:
+    """names -> (name, band, band_hash). Pure Spark SQL expressions
+    (JVM-side, codegen) — no Python UDF.
+
+    MinHash h_i(S) = min_{s in S} (a_i * xxhash64(s) + b_i) mod P over
+    the k-shingle set S of the lowercased name.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+    rows_per_band = num_hashes // num_bands
+
+    padded = F.concat(F.lit("^"), F.lower(F.col(name_col)), F.lit("$"))
+    n = F.length(padded)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.array_distinct(F.transform(starts, lambda i: padded.substr(i, F.lit(k))))
+    df = names.withColumn("__sh", sh)
+    # per-shingle base hash once, then each of the num_hashes affine maps
+    df = df.withColumn(
+        "__hv", F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MAX)))
+    )
+    def _affine(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
+
+    sig_cols = [
+        F.array_min(F.transform("__hv", _affine(a, b))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    df = df.select(name_col, "__sh", *sig_cols)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"__m{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for bi in range(num_bands)
+        ]
+    )
+    return df.select(
+        name_col, "__sh", F.explode(bands).alias("b")
+    ).select(name_col, "__sh", "b.band", "b.band_hash")
+
+
+def candidate_edges(
+    names: DataFrame,
+    name_col: str = "name",
+    jaccard_threshold: float = 0.27,
+    **mh_kwargs,
+) -> DataFrame:
+    """Distinct surface forms -> verified similarity edges (name_a,
+    name_b, jaccard). LSH equi-join on (band, band_hash), then exact
+    shingle-Jaccard verification on the candidates only.
+    """
+    sigs = shingle_minhash(names.select(name_col).distinct(), name_col, **mh_kwargs)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{name_col}") < F.col(f"b.{name_col}")),
+        )
+        .select(
+            F.col(f"a.{name_col}").alias("name_a"),
+            F.col(f"b.{name_col}").alias("name_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["name_a", "name_b"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return cand.select("name_a", "name_b", jac).filter(
+        F.col("jaccard") >= F.lit(jaccard_threshold)
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components over an
+    undirected edge list of LONG node ids. Returns (node, component)
+    where component = min node id of the cluster.
+
+    Each round is two self-join+agg passes; lineage is truncated with
+    localCheckpoint() so the plan doesn't grow exponentially
+    (SURVEY.md §4 'needs custom work' #1).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # symmetrize: star operations need the full undirected adjacency.
+        # Checkpointed: each round's plan references nbrs four times
+        # (two self-joins + two aggregates) — truncating here keeps the
+        # optimizer's working set flat (and dodges a Spark 4 analyzer
+        # attribute-rebind failure on deeply self-referential plans).
+        nbrs = (
+            e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # large-star: for each node u, connect every neighbor v > u to
+        # m = min(neighbors(u) ∪ {u})
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.withColumn("mn", F.least("mn", F.col("u")))
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        # small-star: for each node u, connect all neighbors <= u (and u)
+        # to the overall min
+        small_n = nbrs.filter(F.col("v") < F.col("u"))
+        smins = small_n.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            small_n.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("mn").alias("v")))
+        )
+        new_e = large.unionByName(small).filter(F.col("u") != F.col("v")).distinct()
+        new_e = new_e.localCheckpoint()
+        # converged when every node points at a single min neighbor and
+        # nothing changed
+        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
+            e = new_e
+            break
+        e = new_e
+
+    comp = e.groupBy("u").agg(F.min("v").alias("mn"))
+    comp = comp.select(
+        F.col("u").alias("node"), F.least("mn", F.col("u")).alias("component")
+    )
+    # nodes that appear only as a component root of others
+    roots = comp.select(F.col("component").alias("node")).distinct().join(
+        comp, "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    return comp.unionByName(roots)
+
+
+def link_entities(
+    mentions: DataFrame,
+    name_col: str = "name",
+    jaccard_threshold: float = 0.27,
+) -> DataFrame:
+    """Full linking pass: distinct mention names -> similarity edges ->
+    components -> (name, canonical_name) mapping, where canonical_name
+    is the lexicographically smallest member of each cluster (stable,
+    deterministic). Names with no near-duplicate map to themselves.
+    """
+    names = mentions.select(name_col).distinct().cache()
+    try:
+        ids = names.withColumn("nid", F.xxhash64(F.lower(F.col(name_col))))
+        edges = candidate_edges(names, name_col, jaccard_threshold)
+        eids = (
+            edges.join(ids.withColumnRenamed(name_col, "name_a"), "name_a")
+            .withColumnRenamed("nid", "src")
+            .join(ids.withColumnRenamed(name_col, "name_b"), "name_b")
+            .withColumnRenamed("nid", "dst")
+            .select("src", "dst")
+        )
+        comp = connected_components(eids)
+        mapped = (
+            ids.join(comp, ids.nid == comp.node, "left")
+            .withColumn("component", F.coalesce("component", "nid"))
+            .select(name_col, "component")
+        )
+        canon = mapped.groupBy("component").agg(
+            F.min(name_col).alias("canonical_name")
+        )
+        return mapped.join(canon, "component").select(name_col, "canonical_name")
+    finally:
+        names.unpersist()
+
+
+def canonicalize_triples(triples: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Rewrite triple subj/obj mention names to canonical cluster names
+    and re-dedup — the final KG materialization step (distinct() on
+    (subj, pred, obj) mirrors the facts-set idempotent insert,
+    data_loader.py:156-164).
+
+    triples: (subj, pred, obj, score, n_support) where subj/obj are
+    surface names; mentions: any DF with a `name` column.
+    """
+    mapping = link_entities(mentions)
+    m_subj = mapping.withColumnRenamed("name", "subj").withColumnRenamed(
+        "canonical_name", "subj_canon"
+    )
+    m_obj = mapping.withColumnRenamed("name", "obj").withColumnRenamed(
+        "canonical_name", "obj_canon"
+    )
+    return (
+        triples.join(F.broadcast(m_subj), "subj", "left")
+        .join(F.broadcast(m_obj), "obj", "left")
+        .select(
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            F.col("pred"),
+            F.coalesce("obj_canon", "obj").alias("obj"),
+            "score",
+            "n_support",
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.max("score").alias("score"), F.sum("n_support").alias("n_support"))
+    )

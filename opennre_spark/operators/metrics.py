@@ -1,0 +1,192 @@
+"""Evaluation metrics as DataFrame plans (SURVEY.md §2.4 A9-A11, §2.5
+W1-W5) — the reference computes these driver-side with python loops +
+sklearn (data_loader.py:53-103, 239-310); here they are window/agg
+plans that scale to prediction sets that don't fit on the driver.
+
+Determinism delta vs the reference (documented, SURVEY.md §7): the
+reference's global sort is Python's stable sort on insertion order
+(data_loader.py:250); we totalize the order with (h_id, t_id, relation)
+as tie-break keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import config
+
+def _rank_order():
+    return [F.col("score").desc(), "h_id", "t_id", "relation"]
+
+
+def pr_curve(predictions: DataFrame, facts: DataFrame) -> DataFrame:
+    """Running precision/recall over score-ranked predictions
+    (W1+W2, data_loader.py:250-275).
+
+    predictions: (h_id, t_id, relation, score) — non-NA only (the
+    emitter already filters NA per bag_re.py:174).
+    facts: gold (h_id, t_id, relation), distinct.
+
+    Correctness membership test = broadcast LEFT SEMI-shaped join (J2):
+    facts are small relative to predictions (they are the distinct gold
+    set), so the probe side never shuffles for the join; the global
+    rank is a range-partitioned window (one narrow sort of the scored
+    output, which is |pairs| x |relations| — far smaller than the input
+    corpus).
+    """
+    marked = predictions.join(
+        F.broadcast(facts.distinct().withColumn("is_correct", F.lit(1))),
+        ["h_id", "t_id", "relation"],
+        "left",
+    ).withColumn("is_correct", F.coalesce("is_correct", F.lit(0)))
+
+    w = Window.orderBy(*_rank_order())
+    cum = Window.orderBy(*_rank_order()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_facts = facts.distinct().count()
+    return (
+        marked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_correct", F.sum("is_correct").over(cum).cast("long"))
+        .withColumn("prec", F.col("cum_correct").cast("double") / F.col("rank"))
+        .withColumn(
+            "rec", F.col("cum_correct").cast("double") / F.lit(float(total_facts))
+        )
+    )
+
+
+def bag_eval(
+    predictions: DataFrame,
+    facts: DataFrame,
+    threshold: float = config.SCORE_THRESHOLD,
+    rel_count: int | None = None,
+) -> dict:
+    """Full bag-level eval result (data_loader.py:239-310): AUC, max
+    micro-F1 + best threshold, mean precision, P@k, and the
+    thresholded entpair micro/macro F1 (A10/A11, sklearn semantics with
+    labels = all non-NA relations).
+
+    Returns a dict of scalars (the curve itself via pr_curve()).
+    """
+    curve = pr_curve(predictions, facts).cache()
+    try:
+        # W3: trapezoidal AUC via lag window (sklearn.metrics.auc)
+        w = Window.orderBy("rank")
+        steps = curve.select(
+            "rank", "prec", "rec",
+            F.lag("prec").over(w).alias("lprec"),
+            F.lag("rec").over(w).alias("lrec"),
+        ).filter(F.col("lrec").isNotNull())
+        auc_row = steps.agg(
+            F.sum((F.col("rec") - F.col("lrec")) * (F.col("prec") + F.col("lprec")) / 2.0)
+        ).first()
+        auc = float(auc_row[0]) if auc_row[0] is not None else 0.0
+
+        # W4: max F1 over the curve + the score at the argmax rank
+        f1c = curve.withColumn(
+            "f1",
+            2.0 * F.col("prec") * F.col("rec")
+            / (F.col("prec") + F.col("rec") + F.lit(1e-20)),
+        )
+        best = f1c.orderBy(F.col("f1").desc(), "rank").select("f1", "score").first()
+        max_micro_f1 = float(best["f1"]) if best else 0.0
+        best_threshold = float(best["score"]) if best else 0.0
+        mean_prec_row = curve.agg(F.avg("prec")).first()
+        mean_prec = float(mean_prec_row[0]) if mean_prec_row[0] is not None else 0.0
+
+        # W5: P@k — reference crashes if <300 predictions
+        # (data_loader.py:310 indexes np_prec[299] unguarded); we guard.
+        pk = {
+            f"p@{k}": float(r["prec"])
+            for k in (100, 200, 300)
+            for r in curve.filter(F.col("rank") == k).select("prec").collect()
+        }
+
+        # A10/A11: entpair-level micro/macro P/R/F1 at the fixed
+        # threshold, labels = non-NA relations (data_loader.py:284-301).
+        # label=1 iff (h,t,r) in facts; pred=1 iff any score >= thr.
+        per_cell = curve.groupBy("h_id", "t_id", "relation").agg(
+            F.max("is_correct").alias("label"),
+            F.max(
+                F.when(F.col("score") >= F.lit(threshold), 1).otherwise(0)
+            ).alias("pred"),
+        )
+        per_rel = per_cell.groupBy("relation").agg(
+            F.sum(F.col("label") * F.col("pred")).alias("tp"),
+            F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+            F.sum(F.col("label") * (1 - F.col("pred"))).alias("fn"),
+        ).cache()
+        tot = per_rel.agg(
+            F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+        ).first()
+        tp, fp, fn = (int(tot["tp"] or 0), int(tot["fp"] or 0), int(tot["fn"] or 0))
+        micro_p = tp / (tp + fp) if tp + fp else 0.0
+        micro_r = tp / (tp + fn) if tp + fn else 0.0
+        micro_f1 = (
+            2 * micro_p * micro_r / (micro_p + micro_r) if micro_p + micro_r else 0.0
+        )
+        # macro: average per-relation F1 over ALL non-NA labels
+        # (sklearn divides by len(labels), including relations with no
+        # predictions/facts -> F1 contribution 0)
+        per_rel_rows = per_rel.collect()
+        per_rel_f1 = {}
+        macro_sum = 0.0
+        for r in per_rel_rows:
+            p = r["tp"] / (r["tp"] + r["fp"]) if r["tp"] + r["fp"] else 0.0
+            rr = r["tp"] / (r["tp"] + r["fn"]) if r["tp"] + r["fn"] else 0.0
+            f1 = 2 * p * rr / (p + rr) if p + rr else 0.0
+            per_rel_f1[r["relation"]] = f1
+            macro_sum += f1
+        n_labels = rel_count - 1 if rel_count else len(per_rel_rows)
+        macro_f1 = macro_sum / n_labels if n_labels else 0.0
+        per_rel.unpersist()
+
+        return {
+            "auc": auc,
+            "max_micro_f1": max_micro_f1,
+            "best_threshold": best_threshold,
+            "mean_prec": mean_prec,
+            "micro_p": micro_p,
+            "micro_r": micro_r,
+            "micro_f1": micro_f1,
+            "macro_f1": macro_f1,
+            "per_relation_f1": per_rel_f1,
+            **pk,
+        }
+    finally:
+        curve.unpersist()
+
+
+def sentence_eval(labeled: DataFrame, rel2id: dict[str, int]) -> dict:
+    """A9 (data_loader.py:53-103): accuracy + micro P/R/F1 with the
+    negative class excluded from positives. labeled: (gold, pred)
+    relation-name columns.
+    """
+    neg = None
+    for name in config.NEG_LABEL_NAMES:
+        if name in rel2id:
+            neg = name
+            break
+    negl = F.lit(neg)
+    row = labeled.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("gold") == F.col("pred"), 1).otherwise(0)).alias("correct"),
+        F.sum(
+            F.when((F.col("gold") == F.col("pred")) & (F.col("gold") != negl), 1)
+            .otherwise(0)
+        ).alias("correct_positive"),
+        F.sum(F.when(F.col("gold") != negl, 1).otherwise(0)).alias("gold_positive"),
+        F.sum(F.when(F.col("pred") != negl, 1).otherwise(0)).alias("pred_positive"),
+    ).first()
+    acc = row["correct"] / row["total"] if row["total"] else 0.0
+    micro_p = (
+        row["correct_positive"] / row["pred_positive"] if row["pred_positive"] else 0
+    )
+    micro_r = (
+        row["correct_positive"] / row["gold_positive"] if row["gold_positive"] else 0
+    )
+    micro_f1 = (
+        2 * micro_p * micro_r / (micro_p + micro_r) if (micro_p + micro_r) else 0
+    )
+    return {"acc": acc, "micro_p": micro_p, "micro_r": micro_r, "micro_f1": micro_f1}

@@ -8,10 +8,16 @@ columnar batches, tokenization is per-row string work inside the batch,
 all dense math is one numpy GEMM per micro-batch. No per-row Python UDF
 anywhere (north rule).
 
+Arrow-boundary hygiene (measured: this is where composed-plan time
+went): only the columns downstream actually consumes cross the
+Python<->JVM boundary — `text` and span columns are consumed inside the
+UDF and never emitted; the per-relation score vector and the (H,)-dim
+rep are emitted only on request (bag modes need them, sentence argmax
+does not).
+
 Model weights: deterministic (seed-frozen) weight dicts are rebuilt once
 per executor process via an lru_cache (cheaper than shipping arrays —
-they are a pure function of the seed). Arbitrary/trained weights can be
-passed explicitly and ride the closure/broadcast path instead.
+they are a pure function of the seed).
 """
 
 from __future__ import annotations
@@ -25,44 +31,41 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import config
-from ..functions import kernels
-from ..functions.encoding import encode_batch
 
-SCORE_FIELDS = [
-    T.StructField("scores", T.ArrayType(T.FloatType()), False),
-    T.StructField("rep", T.ArrayType(T.FloatType()), True),
-    T.StructField("pred_rel_id", T.IntegerType(), False),
-    T.StructField("pred_score", T.FloatType(), False),
-]
-
-
-def _output_schema(input_schema: T.StructType, with_rep: bool) -> T.StructType:
-    fields = list(input_schema.fields)
-    for f in SCORE_FIELDS:
-        if f.name == "rep" and not with_rep:
-            continue
-        fields.append(f)
-    return T.StructType(fields)
+# consumed inside the UDF, never re-emitted (h_begin/t_begin stay: they
+# are part of the bag stable-ordering key, and they're cheap ints)
+_CONSUMED = ["text", "h_end", "t_end", "h_name", "t_name"]
 
 
 def score_instances(
     instances: DataFrame,
     pcnn: bool = False,
     with_rep: bool = False,
+    with_scores: bool = False,
     micro_batch: int = config.EVAL_MICRO_BATCH,
 ) -> DataFrame:
-    """Append per-relation softmax scores (+argmax) to instance rows.
+    """Score instance rows; returns the non-consumed input columns plus
+    pred_rel_id int, pred_score float [, scores array<float>]
+    [, rep array<float>].
 
-    Input needs columns: text, h_begin, h_end, t_begin, t_end.
-    Output adds: scores array<float> (N), [rep array<float> (H|3H)],
-    pred_rel_id int, pred_score float.
-
+    Input needs: text, h_begin, h_end, t_begin, t_end.
     Narrow transformation — runs wherever the instances already live.
     """
-    out_schema = _output_schema(instances.schema, with_rep)
-    in_cols = [f.name for f in instances.schema.fields]
+    keep = [f for f in instances.schema.fields if f.name not in _CONSUMED]
+    out_fields = list(keep) + [
+        T.StructField("pred_rel_id", T.IntegerType(), False),
+        T.StructField("pred_score", T.FloatType(), False),
+    ]
+    if with_scores:
+        out_fields.append(T.StructField("scores", T.ArrayType(T.FloatType()), False))
+    if with_rep:
+        out_fields.append(T.StructField("rep", T.ArrayType(T.FloatType()), False))
+    out_schema = T.StructType(out_fields)
+    keep_names = [f.name for f in keep]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import kernels
+        from ..functions.encoding import encode_batch
         from ..functions.weights import default_model
 
         vocab, weights = default_model(pcnn=pcnn)
@@ -73,31 +76,33 @@ def score_instances(
             n = len(pdf)
             if n == 0:
                 continue
+            texts = pdf["text"].tolist()
+            hb = pdf["h_begin"].to_numpy()
+            he = pdf["h_end"].to_numpy()
+            tb = pdf["t_begin"].to_numpy()
+            te = pdf["t_end"].to_numpy()
             reps = []
             probs = []
             # bounded micro-batches (reference bs=256, bag_attention.py:140)
             for lo in range(0, n, micro_batch):
                 hi = min(lo + micro_batch, n)
-                chunk = pdf.iloc[lo:hi]
                 enc = encode_batch(
-                    chunk["text"].tolist(),
-                    chunk["h_begin"].to_numpy(),
-                    chunk["h_end"].to_numpy(),
-                    chunk["t_begin"].to_numpy(),
-                    chunk["t_end"].to_numpy(),
+                    texts[lo:hi], hb[lo:hi], he[lo:hi], tb[lo:hi], te[lo:hi],
                     vocab, L, pad_id, unk_id, with_mask=pcnn,
                 )
                 rep, pr = kernels.sentence_scores(enc, weights, pcnn=pcnn)
-                reps.append(rep)
                 probs.append(pr)
-            rep = np.concatenate(reps, 0)
-            pr = np.concatenate(probs, 0)
-            out = pdf[in_cols].copy()
-            out["scores"] = list(pr)
-            if with_rep:
-                out["rep"] = list(rep)
+                if with_rep:
+                    reps.append(rep)
+            pr = np.concatenate(probs, 0) if len(probs) > 1 else probs[0]
+            out = pdf[keep_names].copy()
             out["pred_rel_id"] = pr.argmax(axis=1).astype(np.int32)
             out["pred_score"] = pr.max(axis=1).astype(np.float32)
+            if with_scores:
+                out["scores"] = list(pr)
+            if with_rep:
+                rep = np.concatenate(reps, 0) if len(reps) > 1 else reps[0]
+                out["rep"] = list(rep)
             yield out
 
     return instances.mapInPandas(run, schema=out_schema)

@@ -56,6 +56,24 @@ def extract_triples(
     spark = transcripts.sparkSession
     mentions = detect_mentions(transcripts, relations.gazetteer())
     instances = candidate_pairs(mentions, window_turns=window_turns)
+    # Scoring is CPU-bound Python (numpy kernels), ~40us/row but only
+    # ~200 bytes/row: AQE's byte-based partition coalescing would fuse
+    # it into a handful of post-join partitions and starve the
+    # executors (measured 2.2x slowdown at local[32]). A round-robin
+    # repartition pins the scoring stage's parallelism to the cluster
+    # size; the shuffled payload (instance text) is tiny next to the
+    # scoring cost.
+    # Column hygiene before the shuffle + the Python boundary: sentence
+    # mode only needs the pair ids downstream; bag modes additionally
+    # need the stable-ordering key (conv, turns, spans). Everything else
+    # (names, end offsets) dies here instead of riding the repartition
+    # exchange and two Arrow crossings.
+    scoring_cols = ["text", "h_begin", "h_end", "t_begin", "t_end", "h_id", "t_id"]
+    if mode != "sentence":
+        scoring_cols += ["conv_id", "turn_idx", "pair_turn_idx"]
+    instances = instances.select(*scoring_cols).repartition(
+        max(spark.sparkContext.defaultParallelism * 2, 16)
+    )
     neg_id = na_rel_id(relations.REL2ID)
 
     if mode == "sentence":
@@ -75,7 +93,12 @@ def extract_triples(
             )
         )
 
-    scored = score_instances(instances, pcnn=pcnn, with_rep=(mode != "one"))
+    scored = score_instances(
+        instances,
+        pcnn=pcnn,
+        with_rep=(mode != "one"),
+        with_scores=(mode == "one"),
+    )
     bags = bag_scores(scored, method=mode, pcnn=pcnn, bag_cap=bag_cap)
     per_rel = explode_bag_scores(bags, relations.ID2REL)
     return (

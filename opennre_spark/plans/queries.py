@@ -435,11 +435,65 @@ def _kg_query(mode: str):
     return run
 
 
+# --- rows-only entries (not ANSI-SQL-expressible; pytest-verified
+# against pure-python oracles in tests/) --------------------------------
+
+def _q_minhash_dedup(spark, sf_dir):
+    from ..operators.dedup import minhash_dedup
+
+    _reg(spark, sf_dir, "documents")
+    return minhash_dedup(spark.table("documents"))
+
+
+def _q_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash
+
+    _reg(spark, sf_dir, "documents")
+    return simhash(spark.table("documents"))
+
+
+def _q_ann_self_join(spark, sf_dir):
+    from ..operators.similarity import ann_self_join
+
+    _reg(spark, sf_dir, "embeddings")
+    return ann_self_join(spark.table("embeddings"), dim=64, cosine_threshold=0.5)
+
+
+def _q_doc_stats(spark, sf_dir):
+    from ..operators.textstats import document_stats
+
+    _reg(spark, sf_dir, "documents")
+    return document_stats(spark.table("documents"))
+
+
+def _q_entity_linking(spark, sf_dir):
+    from ..operators.linking import link_entities
+
+    from .. import relations
+
+    names = spark.createDataFrame(
+        [(n,) for _, n, _ in relations.gazetteer()], "name string"
+    )
+    return link_entities(names)
+
+
+def _q_media_features(spark, sf_dir):
+    from ..operators.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, 120))
+
+
 def queries() -> dict:
     out = {name: _make_sql_query(name) for name in _SPECS}
     out["kg_triples_sentence"] = _kg_query("sentence")
     out["kg_triples_bag_att"] = _kg_query("att")
     out["kg_triples_bag_one"] = _kg_query("one")
+    out["dedup_minhash_lsh"] = _q_minhash_dedup
+    out["dedup_simhash"] = _q_simhash
+    out["ann_lsh_self_join"] = _q_ann_self_join
+    out["text_document_stats"] = _q_doc_stats
+    out["kg_entity_linking"] = _q_entity_linking
+    out["media_feature_extract"] = _q_media_features
     return out
 
 

@@ -6,6 +6,14 @@ from __future__ import annotations
 
 import os
 
+# Pin BLAS to one thread per Python worker BEFORE numpy loads anywhere:
+# task-level parallelism comes from Spark (one worker per core); letting
+# OpenBLAS also thread inside each of 32 workers oversubscribes the box
+# and *inverts* scaling (local[32] measured slower than local[8]).
+# Workers fork from the driver-side daemon, so they inherit this env.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 from pyspark.sql import SparkSession
 
 from . import config

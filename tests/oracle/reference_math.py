@@ -305,3 +305,48 @@ def oracle_sentence_eval(golds, preds, rel2id):
         2 * micro_p * micro_r / (micro_p + micro_r) if (micro_p + micro_r) else 0
     )
     return {"acc": acc, "micro_p": micro_p, "micro_r": micro_r, "micro_f1": micro_f1}
+
+
+def oracle_entpair_f1(pred_result, facts, rel2id, threshold=0.5):
+    """data_loader.py:256-304 entpair label/pred matrices + sklearn
+    micro/macro over labels=range(1, N) (NA=0 excluded), re-derived
+    with explicit loops (no sklearn in this sandbox).
+    """
+    entpair = {}
+    for item in pred_result:
+        key = (item["entpair"][0], item["entpair"][1])
+        cell = entpair.setdefault(key, {})
+        r = item["relation"]
+        rec = cell.setdefault(r, {"label": 0, "pred": 0})
+        if (key[0], key[1], r) in facts:
+            rec["label"] = 1
+        if item["score"] >= threshold:
+            rec["pred"] = 1
+    labels = [r for r, i in rel2id.items() if i != 0]
+    tp = {r: 0 for r in labels}
+    fp = {r: 0 for r in labels}
+    fn = {r: 0 for r in labels}
+    for key, cell in entpair.items():
+        for r, rec in cell.items():
+            if rec["label"] and rec["pred"]:
+                tp[r] += 1
+            elif rec["pred"] and not rec["label"]:
+                fp[r] += 1
+            elif rec["label"] and not rec["pred"]:
+                fn[r] += 1
+    TP, FP, FN = sum(tp.values()), sum(fp.values()), sum(fn.values())
+    micro_p = TP / (TP + FP) if TP + FP else 0.0
+    micro_r = TP / (TP + FN) if TP + FN else 0.0
+    micro_f1 = 2 * micro_p * micro_r / (micro_p + micro_r) if micro_p + micro_r else 0.0
+    macro_sum = 0.0
+    for r in labels:
+        p = tp[r] / (tp[r] + fp[r]) if tp[r] + fp[r] else 0.0
+        rr = tp[r] / (tp[r] + fn[r]) if tp[r] + fn[r] else 0.0
+        macro_sum += 2 * p * rr / (p + rr) if p + rr else 0.0
+    macro_f1 = macro_sum / len(labels) if labels else 0.0
+    return {
+        "micro_p": micro_p,
+        "micro_r": micro_r,
+        "micro_f1": micro_f1,
+        "macro_f1": macro_f1,
+    }

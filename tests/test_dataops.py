@@ -1,0 +1,169 @@
+"""Training-data pipeline operators: dedup (exact/minhash/simhash),
+similarity search, text stats, multimodal plumbing. Oracles are
+driver-side pure-Python recomputations on the same rows."""
+
+import hashlib
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opennre_spark.operators import dedup, multimodal, similarity, textstats
+
+WORDS = ("the fast key order sort table scan merge part window small hash "
+         "join stream customer data group row value batch slow filter").split()
+
+
+def _doc(rng, n=30):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(3)
+    rows = []
+    for i in range(80):
+        rows.append((i, _doc(rng)))
+    # exact dups
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1]))
+    # near dup: one word changed
+    base = rows[1][1].split()
+    base[5] = "changed"
+    rows.append((102, " ".join(base)))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.exact_dedup(docs).collect()
+    total = docs.count()
+    members = sum(r.n_members for r in kept)
+    assert members == total
+    by_id = {r.doc_id: r.n_members for r in kept}
+    assert by_id[0] == 3  # doc 0 + copies 100, 101
+    assert 100 not in by_id and 101 not in by_id
+
+
+def test_minhash_dedup_clusters_near_dups(spark, docs):
+    clusters = {r.doc_id: r.cluster_id for r in dedup.minhash_dedup(docs).collect()}
+    assert clusters[100] == clusters[0] == 0
+    assert clusters[101] == 0
+    assert clusters[102] == clusters[1] == 1  # near dup joins doc 1
+    # unrelated docs stay singletons
+    singleton = [d for d, c in clusters.items() if d == c]
+    assert len(singleton) >= 70
+
+
+def test_minhash_pairs_jaccard_exact(spark, docs):
+    """Verified jaccard must equal the pure-python 3-gram jaccard."""
+    pairs = dedup.minhash_dup_pairs(docs, jaccard_threshold=0.5).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    assert pairs, "expected at least the exact-dup pairs"
+    for p in pairs:
+        a, b = shingles(texts[p.id_a]), shingles(texts[p.id_b])
+        want = len(a & b) / len(a | b)
+        assert abs(p.jaccard - want) < 1e-9
+
+
+def test_simhash_parity_and_pairs(spark, docs):
+    rows = dedup.simhash(docs).collect()
+    assert len(rows) == docs.count()
+    # exact dups share the simhash
+    sh = {r.doc_id: r.simhash for r in rows}
+    assert sh[0] == sh[100] == sh[101]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             dedup.simhash_dup_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(0, 100)] == 0 and pairs[(0, 101)] == 0
+    assert (1, 102) in pairs  # near dup within hamming 8
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    got = similarity.cosine_topk(df.filter("vec_id != 0"), q, k=5).collect()
+    qv = np.array(q)
+    cos = vecs[1:] @ qv / (np.linalg.norm(vecs[1:], axis=1) * np.linalg.norm(qv))
+    order = sorted(range(1, 50), key=lambda i: (-cos[i - 1], i))[:5]
+    assert [r.vec_id for r in got] == order
+    for r, i in zip(got, order):
+        assert abs(r.cos_sim - float(cos[i - 1])) < 1e-6
+
+
+def test_ann_self_join_finds_planted_neighbors(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # planted near-duplicates of vec 0 and 7
+    for j, src in ((100, 0), (107, 7)):
+        v = base[src] + rng.normal(scale=0.01, size=16).astype(np.float32)
+        rows.append((j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b) for r in
+           similarity.ann_self_join(df, dim=16, cosine_threshold=0.98).collect()}
+    assert (0, 100) in got and (7, 107) in got
+
+
+def test_document_stats(spark, docs):
+    out = {r.doc_id: r for r in textstats.document_stats(docs).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for did, text in list(texts.items())[:10]:
+        r = out[did]
+        toks = text.lower().split()
+        assert r.n_tokens == len(toks)
+        assert r.n_chars == len(text)
+        stop = sum(1 for t in toks if t in textstats.STOPWORDS["en"])
+        assert abs(r.stopword_ratio - stop / len(toks)) < 1e-9
+        alpha = sum(1 for c in text if c.isascii() and c.isalpha())
+        assert abs(r.alpha_ratio - alpha / len(text)) < 1e-9
+        assert r.lang_pred in ("en", "und")
+        assert 0.0 <= r.quality <= 1.0
+    # fingerprint is whitespace-jitter stable
+    jit = spark.createDataFrame(
+        [(0, "  " + texts[0].replace(" ", "   ") + " ")], "doc_id long, text string"
+    )
+    assert (
+        textstats.document_stats(jit).first().fingerprint == out[0].fingerprint
+    )
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.features)
+    # determinism: same payload -> same features (stub is content-hash)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = {r.media_id: list(r.features) for r in feats}
+    for mid, p in list(payloads.items())[:5]:
+        want = multimodal.decode_stub(p)
+        assert np.allclose(got[mid], want, atol=1e-7)
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    frames = multimodal.frame_sample(media, every_k=5).collect()
+    vids = {r.media_id: r["meta"]["n_frames"] for r in media.collect() if r.kind == "video"}
+    per = {}
+    for r in frames:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    assert set(per) == set(vids)
+    for mid, idxs in per.items():
+        assert idxs == list(range(0, vids[mid], 5))
+    rs = multimodal.resize_plan(media, max_side=64).collect()
+    for r in rs:
+        assert max(r.dst_width, r.dst_height) <= 64
+        assert r.dst_width > 0 and r.dst_height > 0

@@ -1,0 +1,95 @@
+"""Metric-suite parity vs the loop oracle on a seeded fixture
+(FIXTURES.md F6: >= 300 ranked predictions so P@300 is defined, >= 20
+gold facts). Covers W1-W5 (curve, AUC, max-F1, P@k) and A9-A11."""
+
+import random
+
+import pytest
+
+from opennre_spark import relations
+from opennre_spark.operators.metrics import bag_eval, pr_curve, sentence_eval
+from tests.oracle import reference_math as om
+
+REL_NAMES = [r for r in relations.REL2ID if r != "NA"]
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    rng = random.Random(7)
+    pairs = [(f"H{i:03d}", f"T{i % 37:03d}") for i in range(60)]
+    facts = set()
+    while len(facts) < 25:
+        h, t = pairs[rng.randrange(len(pairs))]
+        facts.add((h, t, REL_NAMES[rng.randrange(len(REL_NAMES))]))
+    preds = []
+    for h, t in pairs:
+        for r in REL_NAMES:
+            # scores biased so facts rank high but with noise
+            base = 0.65 if (h, t, r) in facts else 0.25
+            preds.append(
+                {
+                    "entpair": (h, t),
+                    "relation": r,
+                    "score": round(min(0.999, max(0.001, rng.gauss(base, 0.18))), 6),
+                }
+            )
+    assert len(preds) >= 300
+    return preds, facts
+
+
+@pytest.fixture(scope="module")
+def spark_dfs(spark, fixture):
+    preds, facts = fixture
+    pred_df = spark.createDataFrame(
+        [(p["entpair"][0], p["entpair"][1], p["relation"], p["score"]) for p in preds],
+        "h_id string, t_id string, relation string, score double",
+    )
+    facts_df = spark.createDataFrame(
+        sorted(facts), "h_id string, t_id string, relation string"
+    )
+    return pred_df, facts_df
+
+
+def test_pr_curve_parity(spark_dfs, fixture):
+    preds, facts = fixture
+    curve = {
+        r["rank"]: (r["prec"], r["rec"])
+        for r in pr_curve(*spark_dfs).select("rank", "prec", "rec").collect()
+    }
+    want = om.oracle_bag_eval(preds, facts, relations.REL2ID)
+    for i, (p, r) in enumerate(zip(want["prec"], want["rec"])):
+        got_p, got_r = curve[i + 1]
+        assert abs(got_p - p) < 1e-12 and abs(got_r - r) < 1e-12, i
+
+
+def test_bag_eval_parity(spark_dfs, fixture):
+    preds, facts = fixture
+    got = bag_eval(*spark_dfs, rel_count=len(relations.REL2ID))
+    want = om.oracle_bag_eval(preds, facts, relations.REL2ID)
+    assert abs(got["auc"] - want["auc"]) < 1e-9
+    assert abs(got["max_micro_f1"] - want["max_micro_f1"]) < 1e-12
+    assert abs(got["mean_prec"] - want["mean_prec"]) < 1e-12
+    assert got["best_threshold"] == pytest.approx(want["best_threshold"], abs=1e-12)
+    for k in ("p@100", "p@200", "p@300"):
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    ml = om.oracle_entpair_f1(preds, facts, relations.REL2ID)
+    assert got["micro_p"] == pytest.approx(ml["micro_p"], abs=1e-12)
+    assert got["micro_r"] == pytest.approx(ml["micro_r"], abs=1e-12)
+    assert got["micro_f1"] == pytest.approx(ml["micro_f1"], abs=1e-12)
+    assert got["macro_f1"] == pytest.approx(ml["macro_f1"], abs=1e-12)
+
+
+def test_sentence_eval_parity(spark):
+    rng = random.Random(11)
+    names = list(relations.REL2ID)
+    rows = [
+        (names[rng.randrange(len(names))], names[rng.randrange(len(names))])
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    got = sentence_eval(df, relations.REL2ID)
+    g = [relations.REL2ID[a] for a, _ in rows]
+    p = [relations.REL2ID[b] for _, b in rows]
+    want = om.oracle_sentence_eval(g, p, relations.REL2ID)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k

@@ -50,20 +50,28 @@ def test_mentions_find_gold_pairs(spark, transcripts):
 
 def test_sentence_scoring_parity(spark, transcripts):
     """Spark-scored decisions == oracle decisions on identical instances
-    (exact-match parity => P/R = 1.0 >= 0.95 target)."""
+    (exact-match parity => P/R = 1.0 >= 0.95 target). The scoring UDF
+    does not re-emit text/spans, so instances are keyed by their unique
+    (conv, turns, pair, spans) composite for the comparison."""
+    KEY = ["conv_id", "turn_idx", "pair_turn_idx", "h_id", "t_id", "h_begin", "t_begin"]
     mentions = detect_mentions(transcripts, relations.gazetteer())
     instances = candidate_pairs(mentions)
+    by_key = {
+        tuple(getattr(r, k) for k in KEY): r for r in instances.collect()
+    }
     rows = score_instances(instances).collect()
     assert len(rows) > 50
+    assert len(by_key) == len(rows)  # composite key is unique
     vocab, W = __import__(
         "opennre_spark.functions.weights", fromlist=["default_model"]
     ).default_model()
     mismatch = 0
     for r in rows[:200]:
+        inst = by_key[tuple(getattr(r, k) for k in KEY)]
         item = {
-            "text": r.text,
-            "h": {"pos": [r.h_begin, r.h_end]},
-            "t": {"pos": [r.t_begin, r.t_end]},
+            "text": inst.text,
+            "h": {"pos": [inst.h_begin, inst.h_end]},
+            "t": {"pos": [inst.t_begin, inst.t_end]},
         }
         rel, score = om.oracle_infer(item, vocab, W, relations.ID2REL, 40)
         if relations.ID2REL[r.pred_rel_id] != rel or abs(r.pred_score - score) > 1e-6:
@@ -120,7 +128,7 @@ def test_bag_one_native_equals_udf(spark, transcripts):
     """A6 both ways: native Spark agg == applyInPandas kernel."""
     mentions = detect_mentions(transcripts, relations.gazetteer())
     instances = candidate_pairs(mentions)
-    scored = score_instances(instances).cache()
+    scored = score_instances(instances, with_scores=True).cache()
     native = {
         (r.h_id, r.t_id, r.rel_id): r.score for r in bag_one_native(scored).collect()
     }
