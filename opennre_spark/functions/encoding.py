@@ -118,7 +118,7 @@ def encode_batch(
     pos1 = np.where(real, pos1, 0)
     pos2 = np.where(real, pos2, 0)
 
-    out = {"token": token, "pos1": pos1, "pos2": pos2}
+    out = {"token": token, "pos1": pos1, "pos2": pos2, "n_real": n_real}
     if with_mask:
         # pcnn_encoder.py:155-170, over real positions only.
         seg_lo = np.minimum(p1_start, p2_start)[:, None]

@@ -75,14 +75,38 @@ def cnn_forward(
     pos1: np.ndarray,
     pos2: np.ndarray,
     weights: dict,
+    n_real: np.ndarray | None = None,
 ) -> np.ndarray:
-    """CNNEncoder.forward (cnn_encoder.py:46-65): (B, H) sentence reps."""
+    """CNNEncoder.forward (cnn_encoder.py:46-65): (B, H) sentence reps.
+
+    Exact length-truncation optimization: the reference pools over the
+    FULL padded length (cnn_encoder.py:44 MaxPool1d(max_length)), but
+    every window that contains only [PAD] inputs evaluates to the bias
+    (word PAD row and position row 0 are zeros, base_encoder.py:62-69),
+    so its pooled contribution is relu(bias) — a constant vector. With
+    n_real given, the conv runs only over positions that can touch a
+    real token (t <= max(n_real), window t covers tokens t-1..t+1) and
+    relu(bias) joins the max explicitly when fully-pad windows exist.
+    Bit-identical results; 2-3x less compute+bandwidth on short turns.
+    """
+    L = token.shape[1]
+    if n_real is not None:
+        Lc = int(min(int(n_real.max()) + 1, L))
+    else:
+        Lc = L
     x = embed_concat(
-        token, pos1, pos2,
+        token[:, :Lc], pos1[:, :Lc], pos2[:, :Lc],
         weights["word_emb"], weights["pos1_emb"], weights["pos2_emb"],
     )
-    c = conv1d_same(x, weights["conv_w"], weights["conv_b"])  # (B, L, H)
-    return np.maximum(c, 0.0).max(axis=1)
+    c = conv1d_same(x, weights["conv_w"], weights["conv_b"])  # (B, Lc, H)
+    pooled = np.maximum(c, 0.0).max(axis=1)
+    if Lc < L:
+        pad_contrib = np.maximum(weights["conv_b"], 0.0)
+        # rows with n_real < L have at least one fully-pad window beyond
+        # Lc only when Lc < L; within [0, Lc) their own pad windows were
+        # already computed identically (pad inputs are zeros for all rows)
+        np.maximum(pooled, pad_contrib[None, :], out=pooled)
+    return pooled
 
 
 def pcnn_forward(
@@ -91,13 +115,26 @@ def pcnn_forward(
     pos2: np.ndarray,
     mask: np.ndarray,  # (B, L) in {0,1,2,3}
     weights: dict,
+    n_real: np.ndarray | None = None,
 ) -> np.ndarray:
-    """PCNNEncoder.forward (pcnn_encoder.py:54-80): (B, 3H) reps."""
+    """PCNNEncoder.forward (pcnn_encoder.py:54-80): (B, 3H) reps.
+
+    Length truncation is exact here too: pad positions carry mask 0, so
+    every segment adds -100 to them (pcnn_encoder.py:72-75) and their
+    relu is 0 — the floor of a relu max — provided |bias| < 100 (the
+    reference's fixed _minus=-100 contract, pcnn_encoder.py:50).
+    """
+    L = token.shape[1]
+    if n_real is not None:
+        Lc = int(min(int(n_real.max()) + 1, L))
+        token, pos1, pos2, mask = (
+            a[:, :Lc] for a in (token, pos1, pos2, mask)
+        )
     x = embed_concat(
         token, pos1, pos2,
         weights["word_emb"], weights["pos1_emb"], weights["pos2_emb"],
     )
-    c = conv1d_same(x, weights["conv_w"], weights["conv_b"])  # (B, L, H)
+    c = conv1d_same(x, weights["conv_w"], weights["conv_b"])  # (B, Lc, H)
     # segment one-hots from the fixed identity table (pcnn_encoder.py:47-49)
     outs = []
     minus = np.float32(-100.0)
@@ -120,12 +157,16 @@ def sentence_scores(batch: dict, weights: dict, pcnn: bool = False) -> tuple:
     aggregators (attention/average) consume representations, not scores
     (bag_attention.py:152-164, bag_average.py:117-128).
     """
+    n_real = batch.get("n_real")
     if pcnn:
         rep = pcnn_forward(
-            batch["token"], batch["pos1"], batch["pos2"], batch["mask"], weights
+            batch["token"], batch["pos1"], batch["pos2"], batch["mask"],
+            weights, n_real=n_real,
         )
     else:
-        rep = cnn_forward(batch["token"], batch["pos1"], batch["pos2"], weights)
+        rep = cnn_forward(
+            batch["token"], batch["pos1"], batch["pos2"], weights, n_real=n_real
+        )
     logits = linear(rep, weights["fc_w"], weights["fc_b"])
     return rep, softmax(logits, axis=-1)
 

@@ -67,12 +67,24 @@ def _char_class(ch: str) -> int:
     return 0
 
 
+import re
+
+# Printable ASCII + the three ASCII whitespace controls: for such text
+# clean_text is the identity (no NUL/U+FFFD/control/Zs beyond ' '),
+# there are no CJK codepoints, and split_on_whitespace == str.split.
+_SIMPLE_ASCII = re.compile(r"^[\x20-\x7e\t\n\r]*$")
+
+
 def clean_and_split(text: str) -> list[str]:
     """WordTokenizer.tokenize: clean -> CJK pad -> whitespace split.
 
     Equivalent to word_tokenizer.py:53-64 composed with utils.py:85-95
-    and 121-132; a single pass here instead of three string rebuilds.
+    and 121-132; a single pass here instead of three string rebuilds,
+    with an exact str.split() fast path for printable-ASCII text (the
+    overwhelmingly common case in the hot scoring loop).
     """
+    if _SIMPLE_ASCII.match(text):
+        return text.split()
     parts: list[str] = []
     buf: list[str] = []
     for ch in text:

@@ -90,15 +90,19 @@ def make_weights(
     }
 
 
-@lru_cache(maxsize=4)
-def default_model(pcnn: bool = False):
-    """(vocab, weights) for the default 8-relation schema — cached so
-    every executor/test builds it exactly once per process.
+@lru_cache(maxsize=8)
+def default_model(pcnn: bool = False, schema: str = "reduced"):
+    """(vocab, weights) for a named schema — cached so every
+    executor/test builds it exactly once per process.
+
+    schema: 'reduced' (8-relation NYT-style, NA=0) or 'wiki80'
+    (80 Wikidata properties, no NA — pretrain.py:136-146 wiki80 config).
     """
     from .. import relations
 
     vocab = build_vocab(relations.vocabulary_words())
-    weights = make_weights(
-        num_rel=len(relations.REL2ID), vocab_size=len(vocab), pcnn=pcnn
+    rel2id = (
+        relations.REL2ID if schema == "reduced" else relations.wiki80_rel2id()
     )
+    weights = make_weights(num_rel=len(rel2id), vocab_size=len(vocab), pcnn=pcnn)
     return vocab, weights

@@ -1,0 +1,114 @@
+"""Checkpointed resumability + per-partition lineage (north rule;
+SURVEY.md §2.1 S6 / §4 'needs custom work' #4).
+
+The reference checkpoints a model state_dict on metric improvement
+(sentence_re.py:133-139); a data pipeline instead needs *data*
+resumability: if the job dies mid-corpus, a restart must skip the work
+that already landed. Design:
+
+  - the corpus is split into `n_buckets` deterministic buckets by
+    pmod(xxhash64(conv_id), n) — conversation-aligned so a bucket is
+    always processed whole (bags never straddle a resume boundary);
+  - each completed bucket appends its triples under
+    out_dir/triples/bucket=<b>/ and ONE manifest row under
+    out_dir/_manifest/ recording lineage + metrics (rows in, triples
+    out, wall seconds, completion timestamp);
+  - resume = read the manifest, anti-join the bucket list, process only
+    pending buckets. Re-running a completed bucket is a no-op, so the
+    whole job is idempotent (at-least-once scheduling safe).
+
+This is the parquet rendition of an Iceberg `replaceWhere` partition
+overwrite; on a real cluster the same bucketing maps to
+`PARTITIONED BY (bucket(N, conv_id))`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_of(conv_col, n_buckets: int):
+    return F.pmod(F.xxhash64(conv_col), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    path = os.path.join(out_dir, "_manifest")
+    if not os.path.exists(path):
+        return set()
+    rows = spark.read.parquet(path).select("bucket").distinct().collect()
+    return {r.bucket for r in rows}
+
+
+def run_with_resume(
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    mode: str = "sentence",
+    max_buckets: int | None = None,
+    **extract_kwargs,
+) -> list[dict]:
+    """Process pending buckets one at a time, appending triples +
+    manifest rows. Returns the manifest rows written this run.
+
+    max_buckets limits how many pending buckets this invocation
+    processes (used by the resume-after-kill test; also a natural lever
+    for incremental backfill).
+    """
+    from .pipeline import extract_triples
+
+    spark = transcripts.sparkSession
+    done = completed_buckets(spark, out_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    if max_buckets is not None:
+        pending = pending[:max_buckets]
+
+    written: list[dict] = []
+    for b in pending:
+        t0 = time.time()
+        part = transcripts.filter(bucket_of(F.col("conv_id"), n_buckets) == b)
+        n_turns = part.count()
+        triples = extract_triples(part, mode=mode, **extract_kwargs)
+        (
+            triples.withColumn("bucket", F.lit(b))
+            .write.mode("overwrite")
+            # dynamic overwrite replaces ONLY bucket=<b> (the Iceberg
+            # replaceWhere analogue): re-processing after a crash
+            # between the data and manifest writes stays idempotent
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, "triples"))
+        )
+        n_triples = spark.read.parquet(
+            os.path.join(out_dir, "triples")
+        ).filter(F.col("bucket") == b).count()
+        row = {
+            "bucket": b,
+            "n_turns": n_turns,
+            "n_triples": n_triples,
+            "wall_sec": round(time.time() - t0, 3),
+            "mode": mode,
+            "completed_at_ms": int(time.time() * 1000),
+        }
+        # manifest row written strictly AFTER the data lands -> a crash
+        # between the two writes re-processes the bucket (idempotent:
+        # next run overwrites that bucket's partition before appending)
+        spark.createDataFrame(
+            [tuple(row.values())],
+            "bucket int, n_turns long, n_triples long, wall_sec double, "
+            "mode string, completed_at_ms long",
+        ).write.mode("append").parquet(os.path.join(out_dir, "_manifest"))
+        written.append(row)
+    return written
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "triples"))
+
+
+def manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "_manifest"))

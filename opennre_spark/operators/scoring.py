@@ -34,7 +34,7 @@ from .. import config
 
 # consumed inside the UDF, never re-emitted (h_begin/t_begin stay: they
 # are part of the bag stable-ordering key, and they're cheap ints)
-_CONSUMED = ["text", "h_end", "t_end", "h_name", "t_name"]
+_CONSUMED = ("text", "h_end", "t_end", "h_name", "t_name")
 
 
 def score_instances(
@@ -43,6 +43,8 @@ def score_instances(
     with_rep: bool = False,
     with_scores: bool = False,
     micro_batch: int = config.EVAL_MICRO_BATCH,
+    consumed: tuple = _CONSUMED,
+    schema: str = "reduced",
 ) -> DataFrame:
     """Score instance rows; returns the non-consumed input columns plus
     pred_rel_id int, pred_score float [, scores array<float>]
@@ -51,7 +53,7 @@ def score_instances(
     Input needs: text, h_begin, h_end, t_begin, t_end.
     Narrow transformation — runs wherever the instances already live.
     """
-    keep = [f for f in instances.schema.fields if f.name not in _CONSUMED]
+    keep = [f for f in instances.schema.fields if f.name not in consumed]
     out_fields = list(keep) + [
         T.StructField("pred_rel_id", T.IntegerType(), False),
         T.StructField("pred_score", T.FloatType(), False),
@@ -68,7 +70,7 @@ def score_instances(
         from ..functions.encoding import encode_batch
         from ..functions.weights import default_model
 
-        vocab, weights = default_model(pcnn=pcnn)
+        vocab, weights = default_model(pcnn=pcnn, schema=schema)
         pad_id = vocab["[PAD]"]
         unk_id = vocab["[UNK]"]
         L = int(weights["max_length"])

@@ -419,7 +419,7 @@ def _make_sql_query(name: str):
 
 # --- non-SQL-expressible entries: the KG pipeline itself ----------------
 
-def _kg_query(mode: str):
+def _kg_query(mode: str, schema: str = "reduced"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..pipeline import extract_triples
         from ..sources.transcripts import transcripts_df
@@ -429,9 +429,9 @@ def _kg_query(mode: str):
         n = 80 if "0.01" in sf_dir else 40
         t = transcripts_df(spark, n)
         thr = 0.15 if mode != "sentence" else 0.5
-        return extract_triples(t, mode=mode, threshold=thr)
+        return extract_triples(t, mode=mode, threshold=thr, schema=schema)
 
-    run.__name__ = f"q_kg_{mode}"
+    run.__name__ = f"q_kg_{mode}_{schema}"
     return run
 
 
@@ -488,6 +488,7 @@ def queries() -> dict:
     out["kg_triples_sentence"] = _kg_query("sentence")
     out["kg_triples_bag_att"] = _kg_query("att")
     out["kg_triples_bag_one"] = _kg_query("one")
+    out["kg_triples_wiki80"] = _kg_query("sentence", schema="wiki80")
     out["dedup_minhash_lsh"] = _q_minhash_dedup
     out["dedup_simhash"] = _q_simhash
     out["ann_lsh_self_join"] = _q_ann_self_join

@@ -10,6 +10,23 @@ and detects the negative class by name (data_loader.py:67-74).
 from __future__ import annotations
 
 # --- relation schema (FIXTURES.md F3: reduced 8-relation NYT-style) ---
+def wiki80_rel2id() -> dict[str, int]:
+    """The public Wiki80 label schema: 80 Wikidata property names, NO
+    negative class (supervised classification; names listed in
+    /root/reference/benchmark/rel4wiki80.md:3-83, checked in as
+    fixtures/wiki80_rel2id.json)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "wiki80_rel2id.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
 REL2ID: dict[str, int] = {
     "NA": 0,
     "founder_of": 1,
