@@ -30,3 +30,7 @@ SCORE_THRESHOLD = 0.5
 
 # Arrow batch sizing for mapInPandas/applyInPandas kernels.
 ARROW_MAX_RECORDS = 2048
+
+# BERT-path sequence length (reference examples use 80-128 with
+# bert-base; the seeded small-config encoder keeps 64 for sane compute).
+BERT_MAX_LENGTH = 64

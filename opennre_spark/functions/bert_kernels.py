@@ -1,0 +1,167 @@
+"""Numpy BERT encoder (SURVEY.md §2.8 M4/M5): a float32 transformer
+forward matching the reference's `BertModel` usage (bert_encoder.py:
+23-33 CLS-pooler path; 123-143 entity-start gather path).
+
+The reference loads HuggingFace bert-base (12x768, transformers==3.4.0,
+requirements.txt:2); trained checkpoints are unavailable in this
+sandbox, so weights are seed-frozen stand-ins with a smaller default
+configuration (4 layers x 128 hidden x 4 heads) — shape-compatible with
+bert-base by parameter (SURVEY.md §7: parity is against our re-run of
+the same math, pytest re-executes it loop-style as the oracle).
+
+Architecture per BertModel:
+  emb = LN(word_emb[ids] + pos_emb[:L] + type_emb[0])
+  per layer: multi-head self-attention (additive -10000*(1-mask) on
+  scores), residual + LN, FFN with GELU, residual + LN
+  pooled = tanh(h[:, 0] @ W_p + b_p)
+
+GELU uses the tanh approximation (documented delta: HF uses erf-exact;
+numpy has no vectorized erf — both sides of our parity tests use this
+same function, and no trained weights exist to disagree with).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from .kernels import softmax
+
+
+def gelu(x: np.ndarray) -> np.ndarray:
+    c = np.float32(0.7978845608028654)  # sqrt(2/pi)
+    return (
+        0.5 * x * (1.0 + np.tanh(c * (x + np.float32(0.044715) * x * x * x)))
+    ).astype(np.float32, copy=False)
+
+
+def layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray, eps: float = 1e-12):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return ((x - mu) / np.sqrt(var + eps) * g + b).astype(np.float32, copy=False)
+
+
+def make_bert_weights(
+    vocab_size: int,
+    hidden: int = 128,
+    layers: int = 4,
+    heads: int = 4,
+    intermediate: int = 512,
+    max_pos: int = 128,
+    seed: int = 1234,
+) -> dict:
+    rng = np.random.default_rng(seed)
+
+    def normal(shape, scale=0.02):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w = {
+        "word_emb": normal((vocab_size, hidden)),
+        "pos_emb": normal((max_pos, hidden)),
+        "type_emb": normal((2, hidden)),
+        "emb_ln_g": np.ones(hidden, np.float32),
+        "emb_ln_b": np.zeros(hidden, np.float32),
+        "pool_w": normal((hidden, hidden)),
+        "pool_b": np.zeros(hidden, np.float32),
+        "hidden": np.int64(hidden),
+        "heads": np.int64(heads),
+        "layers": np.int64(layers),
+    }
+    for i in range(layers):
+        for name, shape in (
+            ("q_w", (hidden, hidden)), ("k_w", (hidden, hidden)),
+            ("v_w", (hidden, hidden)), ("o_w", (hidden, hidden)),
+            ("i_w", (hidden, intermediate)), ("f_w", (intermediate, hidden)),
+        ):
+            w[f"l{i}_{name}"] = normal(shape)
+        for name, dim in (
+            ("q_b", hidden), ("k_b", hidden), ("v_b", hidden), ("o_b", hidden),
+            ("i_b", intermediate), ("f_b", hidden),
+        ):
+            w[f"l{i}_{name}"] = np.zeros(dim, np.float32)
+        for name in ("att_ln", "ffn_ln"):
+            w[f"l{i}_{name}_g"] = np.ones(hidden, np.float32)
+            w[f"l{i}_{name}_b"] = np.zeros(hidden, np.float32)
+    return w
+
+
+def bert_forward(token: np.ndarray, att_mask: np.ndarray, W: dict):
+    """(B, L) ids + mask -> (hidden (B, L, H) float32, pooled (B, H))."""
+    B, L = token.shape
+    H = int(W["hidden"])
+    heads = int(W["heads"])
+    dh = H // heads
+    x = W["word_emb"][token] + W["pos_emb"][:L][None, :, :] + W["type_emb"][0]
+    x = layer_norm(x.astype(np.float32), W["emb_ln_g"], W["emb_ln_b"])
+    # additive mask: 0 for content, -10000 for padding (HF convention)
+    add_mask = ((1.0 - att_mask.astype(np.float32)) * np.float32(-10000.0))[
+        :, None, None, :
+    ]  # (B, 1, 1, L)
+    scale = np.float32(1.0 / np.sqrt(dh))
+    for i in range(int(W["layers"])):
+        q = (x @ W[f"l{i}_q_w"] + W[f"l{i}_q_b"]).reshape(B, L, heads, dh)
+        k = (x @ W[f"l{i}_k_w"] + W[f"l{i}_k_b"]).reshape(B, L, heads, dh)
+        v = (x @ W[f"l{i}_v_w"] + W[f"l{i}_v_b"]).reshape(B, L, heads, dh)
+        q = q.transpose(0, 2, 1, 3)  # (B, heads, L, dh)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        scores = (q @ k.transpose(0, 1, 3, 2)) * scale + add_mask
+        att = softmax(scores.astype(np.float32), axis=-1)
+        ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, H)
+        attn_out = ctx @ W[f"l{i}_o_w"] + W[f"l{i}_o_b"]
+        x = layer_norm(
+            (x + attn_out).astype(np.float32),
+            W[f"l{i}_att_ln_g"], W[f"l{i}_att_ln_b"],
+        )
+        ffn = gelu(x @ W[f"l{i}_i_w"] + W[f"l{i}_i_b"]) @ W[f"l{i}_f_w"] + W[f"l{i}_f_b"]
+        x = layer_norm(
+            (x + ffn).astype(np.float32),
+            W[f"l{i}_ffn_ln_g"], W[f"l{i}_ffn_ln_b"],
+        )
+    pooled = np.tanh(x[:, 0, :] @ W["pool_w"] + W["pool_b"]).astype(np.float32)
+    return x, pooled
+
+
+def bert_cls_rep(token, att_mask, pos1, pos2, W) -> np.ndarray:
+    """BERTEncoder.forward (bert_encoder.py:23-33): pooled CLS output."""
+    _, pooled = bert_forward(token, att_mask, W)
+    return pooled
+
+
+def bert_entity_rep(token, att_mask, pos1, pos2, W) -> np.ndarray:
+    """BERTEntityEncoder.forward (bert_encoder.py:123-143): gather
+    hidden state at the head/tail start-marker positions, concat,
+    linear."""
+    hidden, _ = bert_forward(token, att_mask, W)
+    B = hidden.shape[0]
+    rows = np.arange(B)
+    head = hidden[rows, pos1.reshape(-1)]
+    tail = hidden[rows, pos2.reshape(-1)]
+    x = np.concatenate([head, tail], axis=1)
+    return (x @ W["ent_w"].T + W["ent_b"]).astype(np.float32)
+
+
+@lru_cache(maxsize=4)
+def default_bert_model(entity: bool = False, schema: str = "reduced"):
+    """(vocab, weights) for the BERT path — deterministic, per-process.
+    The classifier fc + (for the entity encoder) the 2H->2H linear are
+    included in the weight dict (softmax_nn.py:20; bert_encoder.py:121).
+    """
+    from .. import relations
+    from .bert_tokenization import build_wordpiece_vocab
+
+    vocab = build_wordpiece_vocab()
+    rel2id = relations.REL2ID if schema == "reduced" else relations.wiki80_rel2id()
+    W = make_bert_weights(vocab_size=len(vocab))
+    H = int(W["hidden"])
+    rng = np.random.default_rng(4321)
+    rep = 2 * H if entity else H
+    if entity:
+        W["ent_w"] = (rng.standard_normal((2 * H, 2 * H)) * 0.02).astype(np.float32)
+        W["ent_b"] = np.zeros(2 * H, np.float32)
+    W["fc_w"] = (rng.standard_normal((len(rel2id), rep)) / np.sqrt(rep)).astype(
+        np.float32
+    )
+    W["fc_b"] = np.zeros(len(rel2id), np.float32)
+    return vocab, W

@@ -45,6 +45,8 @@ def bag_scores(
     method: str = "att",
     pcnn: bool = False,
     bag_cap: int = 0,
+    encoder: str | None = None,
+    schema: str = "reduced",
 ) -> DataFrame:
     """Per-bag per-relation score vector via applyInPandas.
 
@@ -55,6 +57,8 @@ def bag_scores(
     """
     if method not in ("att", "avg", "one"):
         raise ValueError(f"unknown bag method {method!r}")
+    if encoder is None:
+        encoder = "pcnn" if pcnn else "cnn"
     needs_rep = method in ("att", "avg")
     value_col = "rep" if needs_rep else "scores"
     cols = ["h_id", "t_id", value_col] + [
@@ -72,9 +76,26 @@ def bag_scores(
         if method == "one":
             out = kernels.bag_one_eval(mat)
         else:
-            from ..functions.weights import default_model
+            if encoder in ("bert", "bert_entity"):
+                from ..functions.bert_kernels import default_bert_model
 
-            _, weights = default_model(pcnn=pcnn)
+                _, weights = default_bert_model(
+                    entity=(encoder == "bert_entity"), schema=schema
+                )
+                # attention diag: ones (bag_attention.py:29), sized to rep
+                import numpy as _np
+
+                if "att_diag" not in weights:
+                    weights = dict(weights)
+                    weights["att_diag"] = _np.ones(
+                        weights["fc_w"].shape[1], _np.float32
+                    )
+            else:
+                from ..functions.weights import default_model
+
+                _, weights = default_model(
+                    pcnn=(encoder == "pcnn"), schema=schema
+                )
             if method == "att":
                 out = kernels.bag_attention_eval(mat, weights)
             else:

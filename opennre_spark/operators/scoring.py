@@ -45,6 +45,7 @@ def score_instances(
     micro_batch: int = config.EVAL_MICRO_BATCH,
     consumed: tuple = _CONSUMED,
     schema: str = "reduced",
+    encoder: str | None = None,
 ) -> DataFrame:
     """Score instance rows; returns the non-consumed input columns plus
     pred_rel_id int, pred_score float [, scores array<float>]
@@ -52,7 +53,13 @@ def score_instances(
 
     Input needs: text, h_begin, h_end, t_begin, t_end.
     Narrow transformation — runs wherever the instances already live.
+
+    encoder: 'cnn' (default), 'pcnn', 'bert' (CLS pooler,
+    bert_encoder.py:7-103) or 'bert_entity' (entity-start gather,
+    bert_encoder.py:106-215). The legacy `pcnn` flag maps to 'pcnn'.
     """
+    if encoder is None:
+        encoder = "pcnn" if pcnn else "cnn"
     keep = [f for f in instances.schema.fields if f.name not in consumed]
     out_fields = list(keep) + [
         T.StructField("pred_rel_id", T.IntegerType(), False),
@@ -70,10 +77,42 @@ def score_instances(
         from ..functions.encoding import encode_batch
         from ..functions.weights import default_model
 
-        vocab, weights = default_model(pcnn=pcnn, schema=schema)
-        pad_id = vocab["[PAD]"]
-        unk_id = vocab["[UNK]"]
-        L = int(weights["max_length"])
+        if encoder in ("bert", "bert_entity"):
+            from ..functions import bert_kernels
+            from ..functions.bert_encoding import bert_encode_batch
+
+            vocab, weights = bert_kernels.default_bert_model(
+                entity=(encoder == "bert_entity"), schema=schema
+            )
+            L = config.BERT_MAX_LENGTH
+            rep_fn = (
+                bert_kernels.bert_entity_rep
+                if encoder == "bert_entity"
+                else bert_kernels.bert_cls_rep
+            )
+
+            def encode_and_score(texts, hb, he, tb, te):
+                enc = bert_encode_batch(texts, hb, he, tb, te, vocab, L)
+                rep = rep_fn(
+                    enc["token"], enc["att_mask"], enc["pos1"], enc["pos2"], weights
+                )
+                logits = rep @ weights["fc_w"].T + weights["fc_b"]
+                return rep, kernels.softmax(logits, axis=-1)
+
+        else:
+            vocab, weights = default_model(pcnn=(encoder == "pcnn"), schema=schema)
+            pad_id = vocab["[PAD]"]
+            unk_id = vocab["[UNK]"]
+            L = int(weights["max_length"])
+
+            def encode_and_score(texts, hb, he, tb, te):
+                enc = encode_batch(
+                    texts, hb, he, tb, te, vocab, L, pad_id, unk_id,
+                    with_mask=(encoder == "pcnn"),
+                )
+                return kernels.sentence_scores(
+                    enc, weights, pcnn=(encoder == "pcnn")
+                )
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -88,11 +127,9 @@ def score_instances(
             # bounded micro-batches (reference bs=256, bag_attention.py:140)
             for lo in range(0, n, micro_batch):
                 hi = min(lo + micro_batch, n)
-                enc = encode_batch(
-                    texts[lo:hi], hb[lo:hi], he[lo:hi], tb[lo:hi], te[lo:hi],
-                    vocab, L, pad_id, unk_id, with_mask=pcnn,
+                rep, pr = encode_and_score(
+                    texts[lo:hi], hb[lo:hi], he[lo:hi], tb[lo:hi], te[lo:hi]
                 )
-                rep, pr = kernels.sentence_scores(enc, weights, pcnn=pcnn)
                 probs.append(pr)
                 if with_rep:
                     reps.append(rep)

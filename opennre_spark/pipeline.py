@@ -44,6 +44,7 @@ def extract_triples(
     pcnn: bool = False,
     dedup_scoring: bool = False,
     schema: str = "reduced",
+    encoder: str | None = None,
 ) -> DataFrame:
     """Emit the deduplicated (subj, pred, obj) triple table.
 
@@ -56,6 +57,8 @@ def extract_triples(
     (data_loader.py:156-164).
     """
     spark = transcripts.sparkSession
+    if encoder is None:
+        encoder = "pcnn" if pcnn else "cnn"
     mentions = detect_mentions(transcripts, relations.gazetteer())
     instances = candidate_pairs(mentions, window_turns=window_turns)
     # Scoring is CPU-bound Python (numpy kernels), ~40us/row but only
@@ -90,7 +93,8 @@ def extract_triples(
         for corpora with heavy boilerplate)."""
         if not dedup_scoring:
             return score_instances(
-                instances.repartition(n_score_parts), pcnn=pcnn, schema=schema, **kw
+                instances.repartition(n_score_parts),
+                schema=schema, encoder=encoder, **kw,
             )
         key = ["text", "h_begin", "h_end", "t_begin", "t_end"]
         uniq = (
@@ -100,7 +104,8 @@ def extract_triples(
         )
         # the unique side keeps the full natural key for the join-back
         scored_u = score_instances(
-            uniq, pcnn=pcnn, schema=schema, consumed=("h_name", "t_name"), **kw
+            uniq, schema=schema, encoder=encoder,
+            consumed=("h_name", "t_name"), **kw,
         )
         return instances.join(scored_u, key, "inner")
 
@@ -129,7 +134,9 @@ def extract_triples(
         with_rep=(mode != "one"),
         with_scores=(mode == "one"),
     )
-    bags = bag_scores(scored, method=mode, pcnn=pcnn, bag_cap=bag_cap)
+    bags = bag_scores(
+        scored, method=mode, bag_cap=bag_cap, encoder=encoder, schema=schema
+    )
     per_rel = explode_bag_scores(bags, id2rel)
     return (
         per_rel.filter(F.col("score") >= F.lit(threshold))

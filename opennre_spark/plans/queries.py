@@ -477,6 +477,24 @@ def _q_entity_linking(spark, sf_dir):
     return link_entities(names)
 
 
+def _kg_pcnn(spark, sf_dir):
+    from ..pipeline import extract_triples
+    from ..sources.transcripts import transcripts_df
+
+    n = 80 if "0.01" in sf_dir else 40
+    return extract_triples(transcripts_df(spark, n), mode="sentence", pcnn=True)
+
+
+def _kg_bert(spark, sf_dir):
+    from ..pipeline import extract_triples
+    from ..sources.transcripts import transcripts_df
+
+    # smaller corpus: the seeded 4-layer transformer is ~20x the CNN cost
+    return extract_triples(
+        transcripts_df(spark, 16), mode="sentence", encoder="bert"
+    )
+
+
 def _q_media_features(spark, sf_dir):
     from ..operators.multimodal import extract_features, synthetic_media
 
@@ -489,6 +507,8 @@ def queries() -> dict:
     out["kg_triples_bag_att"] = _kg_query("att")
     out["kg_triples_bag_one"] = _kg_query("one")
     out["kg_triples_wiki80"] = _kg_query("sentence", schema="wiki80")
+    out["kg_triples_pcnn"] = _kg_pcnn
+    out["kg_triples_bert"] = _kg_bert
     out["dedup_minhash_lsh"] = _q_minhash_dedup
     out["dedup_simhash"] = _q_simhash
     out["ann_lsh_self_join"] = _q_ann_self_join

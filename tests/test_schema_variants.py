@@ -84,3 +84,28 @@ def test_bag_cap_deterministic(spark, transcripts):
     }
     assert any(n > 3 for n in full.values()), "fixture must have a big bag"
     scored.unpersist()
+
+
+def test_pcnn_pipeline_parity(spark, transcripts):
+    """PCNN end-to-end: Spark triples == oracle decisions (M3/T14)."""
+    from opennre_spark.functions.weights import build_vocab, make_weights
+    from opennre_spark.pipeline import na_rel_id
+    from tests.oracle import reference_math as om
+
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions).collect()
+    vocab = build_vocab(relations.vocabulary_words())
+    W = make_weights(len(relations.REL2ID), len(vocab), pcnn=True)
+    neg = na_rel_id(relations.REL2ID)
+    want = set()
+    for r in instances:
+        item = {"text": r.text, "h": {"pos": [r.h_begin, r.h_end]},
+                "t": {"pos": [r.t_begin, r.t_end]}}
+        rel, _ = om.oracle_infer(item, vocab, W, relations.ID2REL, 40, pcnn=True)
+        if relations.REL2ID[rel] != neg:
+            want.add((r.h_id, rel, r.t_id))
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in extract_triples(transcripts, mode="sentence", pcnn=True).collect()
+    }
+    assert got == want
