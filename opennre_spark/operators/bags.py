@@ -144,3 +144,30 @@ def explode_bag_scores(bags: DataFrame, id2rel: dict[int, str]) -> DataFrame:
         .filter(F.col("relation") != "NA")
         .select("h_id", "t_id", "relation", "score", "n_sentences")
     )
+
+
+def bag_one_salted(scored: DataFrame, n_salts: int = 8) -> DataFrame:
+    """`one` with explicit hot-key salting (SURVEY.md §4 custom work #2):
+    phase 1 aggregates per (h_id, t_id, salt) where salt spreads a hot
+    entity pair over n_salts reducers, phase 2 merges the partials —
+    legal because per-relation max is associative/commutative
+    (bag_one.py:146 `instance_logit.max(dim=0)`).
+
+    With Spark's own map-side partial aggregation this is usually
+    redundant for `one`; it exists as the explicit two-phase pattern for
+    aggregations whose partials AREN'T auto-derived (and as the
+    documented skew strategy the north rule asks for). `att` cannot be
+    salted this way (softmax over the full bag does not decompose) —
+    its skew guard is the deterministic bag cap.
+    """
+    per_rel = scored.select(
+        "h_id", "t_id",
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salts)).alias("salt"),
+        F.posexplode("scores").alias("rel_id", "score"),
+    )
+    partial = per_rel.groupBy("h_id", "t_id", "salt", "rel_id").agg(
+        F.max("score").alias("score")
+    )
+    return partial.groupBy("h_id", "t_id", "rel_id").agg(
+        F.max("score").alias("score")
+    )

@@ -230,6 +230,61 @@ _spec(
     """,
 )
 
+# --- A5 analog: bag average as native agg (decimal-exact) --------------
+_spec(
+    "a5_bag_avg",
+    ["lineitem"],
+    """
+    SELECT l_orderkey AS bag_id,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_score,
+           count(*) AS n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+
+# --- W6 analog: per-row argmax via greatest + CASE ---------------------
+_spec(
+    "w6_row_argmax",
+    ["lineitem"],
+    """
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_discount * 100.0, l_tax * 100.0) AS best_score,
+           CASE greatest(l_quantity, l_discount * 100.0, l_tax * 100.0)
+                WHEN l_quantity THEN 'qty'
+                WHEN l_discount * 100.0 THEN 'disc'
+                ELSE 'tax' END AS best_label
+    FROM lineitem
+    """,
+)
+
+# --- §2.6 set ops: unionByName-equivalent + distinct -------------------
+_spec(
+    "set_union_distinct",
+    ["orders"],
+    """
+    SELECT o_orderstatus AS status, count(*) AS n FROM (
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM (
+        SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 100000
+        UNION ALL
+        SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+      ) u
+    ) d GROUP BY o_orderstatus
+    """,
+)
+
+# --- P6 threshold predicate over scores --------------------------------
+_spec(
+    "p6_threshold",
+    ["events"],
+    """
+    SELECT event_type AS relation,
+           CAST(sum(CASE WHEN value / 500.0 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+
 # --- relational shell: TPC-H Q1-style pricing summary (exact decimals) -
 _spec(
     "q1_pricing_summary",

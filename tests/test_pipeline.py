@@ -144,3 +144,22 @@ def test_extract_triples_bag_modes(spark, transcripts):
         triples = extract_triples(transcripts, mode=mode, threshold=0.15)
         rows = triples.limit(5).collect()
         assert len(rows) > 0, mode
+
+
+def test_bag_one_salted_equals_plain(spark, transcripts):
+    """Two-phase salted aggregation == single-phase (associativity)."""
+    from opennre_spark.operators.bags import bag_one_salted
+
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions)
+    scored = score_instances(instances, with_scores=True).cache()
+    plain = {
+        (r.h_id, r.t_id, r.rel_id): r.score
+        for r in bag_one_native(scored).collect()
+    }
+    salted = {
+        (r.h_id, r.t_id, r.rel_id): r.score
+        for r in bag_one_salted(scored, n_salts=4).collect()
+    }
+    assert plain == salted
+    scored.unpersist()
