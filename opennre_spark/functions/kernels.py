@@ -23,6 +23,11 @@ from __future__ import annotations
 import numpy as np
 
 
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    """SigmoidNN.logit_to_score (sigmoid_nn.py:39-40)."""
+    return (1.0 / (1.0 + np.exp(-x))).astype(np.float32, copy=False)
+
+
 def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     x = x - np.max(x, axis=axis, keepdims=True)
     e = np.exp(x)

@@ -190,3 +190,112 @@ def sentence_eval(labeled: DataFrame, rel2id: dict[str, int]) -> dict:
         2 * micro_p * micro_r / (micro_p + micro_r) if (micro_p + micro_r) else 0
     )
     return {"acc": acc, "micro_p": micro_p, "micro_r": micro_r, "micro_f1": micro_f1}
+
+
+def multilabel_sentence_eval(
+    cells: DataFrame,
+    rel2id: dict[str, int],
+    threshold: float = config.SCORE_THRESHOLD,
+) -> dict:
+    """Multi-label sentence-level eval (data_loader.py:383-446, the
+    NYT10m/Wiki20m manual-test path):
+
+      - ranked micro P/R curve + AUC + max-F1 + P@k over every
+        (sentence, relation) cell whose relation is NOT in the
+        multi-label negative list (P5, data_loader.py:390-391);
+      - thresholded micro/macro P/R/F1 over labels range(1, N)
+        (assumes NA=0, data_loader.py:434-440);
+      - elementwise accuracy over the FULL (sentence x relation)
+        matrix including the NA column (data_loader.py:442).
+
+    cells: one row per (sent_id, relation) with `score` double and
+    `label` int (1 iff the relation is annotated for the sentence) —
+    the long form of the reference's dense matrices.
+    """
+    na = set(config.MULTILABEL_NA_NAMES)
+    pos = cells.filter(~F.col("relation").isin(*na))
+
+    total_row = pos.agg(F.sum("label")).first()
+    total = int(total_row[0] or 0)
+    w = Window.orderBy(F.col("score").desc(), "sent_id", "relation")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = (
+        pos.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_correct", F.sum("label").over(cum).cast("long"))
+        .withColumn("prec", F.col("cum_correct").cast("double") / F.col("rank"))
+        .withColumn("rec", F.col("cum_correct").cast("double") / F.lit(float(total)))
+        .cache()
+    )
+    try:
+        wl = Window.orderBy("rank")
+        steps = curve.select(
+            "prec", "rec",
+            F.lag("prec").over(wl).alias("lprec"),
+            F.lag("rec").over(wl).alias("lrec"),
+        ).filter(F.col("lrec").isNotNull())
+        auc_row = steps.agg(
+            F.sum((F.col("rec") - F.col("lrec")) * (F.col("prec") + F.col("lprec")) / 2.0)
+        ).first()
+        auc = float(auc_row[0]) if auc_row[0] is not None else 0.0
+        f1c = curve.withColumn(
+            "f1",
+            2.0 * F.col("prec") * F.col("rec")
+            / (F.col("prec") + F.col("rec") + F.lit(1e-20)),
+        )
+        best = f1c.orderBy(F.col("f1").desc(), "rank").select("f1", "score").first()
+        pk = {
+            f"p@{k}": float(r["prec"])
+            for k in (100, 200, 300)
+            for r in curve.filter(F.col("rank") == k).select("prec").collect()
+        }
+
+        # thresholded micro/macro over labels 1..N-1 (NA=0 excluded)
+        id2rel = {v: k for k, v in rel2id.items()}
+        na_rel = id2rel.get(0)
+        thresholded = cells.withColumn(
+            "pred", (F.col("score") >= F.lit(threshold)).cast("int")
+        )
+        labeled = thresholded.filter(F.col("relation") != F.lit(na_rel))
+        per_rel = labeled.groupBy("relation").agg(
+            F.sum(F.col("label") * F.col("pred")).alias("tp"),
+            F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+            F.sum(F.col("label") * (1 - F.col("pred"))).alias("fn"),
+        ).collect()
+        TP = sum(r["tp"] for r in per_rel)
+        FP = sum(r["fp"] for r in per_rel)
+        FN = sum(r["fn"] for r in per_rel)
+        micro_p = TP / (TP + FP) if TP + FP else 0.0
+        micro_r = TP / (TP + FN) if TP + FN else 0.0
+        micro_f1 = (
+            2 * micro_p * micro_r / (micro_p + micro_r) if micro_p + micro_r else 0.0
+        )
+        n_labels = len(rel2id) - 1
+        macro_p = macro_r = macro_f1 = 0.0
+        for r in per_rel:
+            p = r["tp"] / (r["tp"] + r["fp"]) if r["tp"] + r["fp"] else 0.0
+            rr = r["tp"] / (r["tp"] + r["fn"]) if r["tp"] + r["fn"] else 0.0
+            macro_p += p
+            macro_r += rr
+            macro_f1 += 2 * p * rr / (p + rr) if p + rr else 0.0
+        macro_p /= n_labels
+        macro_r /= n_labels
+        macro_f1 /= n_labels
+
+        acc_row = thresholded.agg(
+            F.avg((F.col("pred") == F.col("label")).cast("double"))
+        ).first()
+        return {
+            "acc": float(acc_row[0]),
+            "auc": auc,
+            "max_micro_f1": float(best["f1"]) if best else 0.0,
+            "max_micro_f1_threshold": float(best["score"]) if best else 0.0,
+            "micro_p": micro_p,
+            "micro_r": micro_r,
+            "micro_f1": micro_f1,
+            "macro_p": macro_p,
+            "macro_r": macro_r,
+            "macro_f1": macro_f1,
+            **pk,
+        }
+    finally:
+        curve.unpersist()

@@ -46,6 +46,7 @@ def score_instances(
     consumed: tuple = _CONSUMED,
     schema: str = "reduced",
     encoder: str | None = None,
+    classifier: str = "softmax",
 ) -> DataFrame:
     """Score instance rows; returns the non-consumed input columns plus
     pred_rel_id int, pred_score float [, scores array<float>]
@@ -57,6 +58,8 @@ def score_instances(
     encoder: 'cnn' (default), 'pcnn', 'bert' (CLS pooler,
     bert_encoder.py:7-103) or 'bert_entity' (entity-start gather,
     bert_encoder.py:106-215). The legacy `pcnn` flag maps to 'pcnn'.
+    classifier: 'softmax' (SoftmaxNN, softmax_nn.py:53-54) or 'sigmoid'
+    (SigmoidNN multi-label scoring, sigmoid_nn.py:39-40).
     """
     if encoder is None:
         encoder = "pcnn" if pcnn else "cnn"
@@ -97,6 +100,8 @@ def score_instances(
                     enc["token"], enc["att_mask"], enc["pos1"], enc["pos2"], weights
                 )
                 logits = rep @ weights["fc_w"].T + weights["fc_b"]
+                if classifier == "sigmoid":
+                    return rep, kernels.sigmoid(logits)
                 return rep, kernels.softmax(logits, axis=-1)
 
         else:
@@ -110,9 +115,13 @@ def score_instances(
                     texts, hb, he, tb, te, vocab, L, pad_id, unk_id,
                     with_mask=(encoder == "pcnn"),
                 )
-                return kernels.sentence_scores(
+                rep, pr = kernels.sentence_scores(
                     enc, weights, pcnn=(encoder == "pcnn")
                 )
+                if classifier == "sigmoid":
+                    logits = kernels.linear(rep, weights["fc_w"], weights["fc_b"])
+                    pr = kernels.sigmoid(logits)
+                return rep, pr
         for pdf in batches:
             n = len(pdf)
             if n == 0:

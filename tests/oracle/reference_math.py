@@ -350,3 +350,84 @@ def oracle_entpair_f1(pred_result, facts, rel2id, threshold=0.5):
         "micro_f1": micro_f1,
         "macro_f1": macro_f1,
     }
+
+
+def oracle_multilabel_sentence_eval(data, pred_score, rel2id, threshold=0.5):
+    """data_loader.py:383-446 transliteration (sklearn-free): data is a
+    list of {'relation': r} or {'anno_relation_list': [...],
+    'anno_relation_vec': one-hot}; pred_score is (n, N)."""
+    pred_score = np.asarray(pred_score)
+    sorted_result = []
+    total = 0
+    NA = ["NA", "na", "N/A", "None", "none", "n/a", "no_relation"]
+    for sent_id in range(len(data)):
+        for rel in rel2id:
+            if rel not in NA:
+                sorted_result.append(
+                    {"sent_id": sent_id, "relation": rel,
+                     "score": pred_score[sent_id][rel2id[rel]]}
+                )
+                if "anno_relation_list" in data[sent_id]:
+                    if rel in data[sent_id]["anno_relation_list"]:
+                        total += 1
+                elif rel == data[sent_id]["relation"]:
+                    total += 1
+    sorted_result.sort(key=lambda x: x["score"], reverse=True)
+    prec, rec = [], []
+    correct = 0
+    for i, item in enumerate(sorted_result):
+        d = data[item["sent_id"]]
+        if "anno_relation_list" in d:
+            if item["relation"] in d["anno_relation_list"]:
+                correct += 1
+        elif item["relation"] == d["relation"]:
+            correct += 1
+        prec.append(correct / (i + 1))
+        rec.append(correct / total)
+    auc = 0.0
+    for i in range(1, len(rec)):
+        auc += (rec[i] - rec[i - 1]) * (prec[i] + prec[i - 1]) / 2.0
+    np_prec = np.array(prec)
+    np_rec = np.array(rec)
+    f1 = 2 * np_prec * np_rec / (np_prec + np_rec + 1e-20)
+
+    N = len(rel2id)
+    pred_vec = np.zeros((len(data), N), dtype=int)
+    pred_vec[pred_score >= threshold] = 1
+    label_vec = []
+    for item in data:
+        if "anno_relation_list" in item:
+            label_vec.append(np.array(item["anno_relation_vec"], dtype=int))
+        else:
+            oh = np.zeros(N, dtype=int)
+            oh[rel2id[item["relation"]]] = 1
+            label_vec.append(oh)
+    label_vec = np.stack(label_vec, 0)
+    labels = list(range(1, N))
+    tp = {r: int(((label_vec[:, r] == 1) & (pred_vec[:, r] == 1)).sum()) for r in labels}
+    fp = {r: int(((label_vec[:, r] == 0) & (pred_vec[:, r] == 1)).sum()) for r in labels}
+    fn = {r: int(((label_vec[:, r] == 1) & (pred_vec[:, r] == 0)).sum()) for r in labels}
+    TP, FP, FN = sum(tp.values()), sum(fp.values()), sum(fn.values())
+    micro_p = TP / (TP + FP) if TP + FP else 0.0
+    micro_r = TP / (TP + FN) if TP + FN else 0.0
+    micro_f1 = 2 * micro_p * micro_r / (micro_p + micro_r) if micro_p + micro_r else 0.0
+    mp = mr = mf = 0.0
+    for r in labels:
+        p = tp[r] / (tp[r] + fp[r]) if tp[r] + fp[r] else 0.0
+        rr = tp[r] / (tp[r] + fn[r]) if tp[r] + fn[r] else 0.0
+        mp += p
+        mr += rr
+        mf += 2 * p * rr / (p + rr) if p + rr else 0.0
+    n = len(labels)
+    acc = float((label_vec == pred_vec).mean())
+    out = {
+        "acc": acc, "auc": auc,
+        "max_micro_f1": float(f1.max()),
+        "max_micro_f1_threshold": float(sorted_result[int(f1.argmax())]["score"]),
+        "micro_p": micro_p, "micro_r": micro_r, "micro_f1": micro_f1,
+        "macro_p": mp / n, "macro_r": mr / n, "macro_f1": mf / n,
+    }
+    for k in (100, 200, 300):
+        if len(np_prec) >= k:
+            out[f"p@{k}"] = float(np_prec[k - 1])
+    return out
