@@ -139,3 +139,92 @@ def ann_self_join(
     return cand.select("id_a", "id_b", cos).filter(
         F.col("cos_sim") >= F.lit(cosine_threshold)
     )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    seed: int = 17,
+    vec_col: str = "embedding",
+):
+    """Coarse quantizer for IVF: k-means on a bounded driver-side sample
+    (standard IVF practice — the quantizer is tiny and trained once; the
+    corpus-scale work stays distributed). Deterministic: seeded sample
+    via xxhash64 ordering, seeded init, fixed iteration count.
+    Returns (n_centroids, dim) float32 numpy.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sample = (
+        embeddings.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(vec_col).cast("string")), F.lit(2**31)))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in sample], dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the nearest-centroid bucket id (one Arrow-batched pass).
+    At scale this is the write-side partitioning key: store the table
+    `PARTITIONED BY (bucket)` so probes read only nprobe partitions."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float32)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float32)
+            d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = d.argmin(1).astype("int32")
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, bucket int"
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe only the nprobe buckets nearest the query, then
+    exact cosine within them (partition pruning is the scale win — the
+    scan touches nprobe/n_centroids of the data). `assigned` comes from
+    ivf_assign (persist/write it once, query many times)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cent = np.asarray(centroids, dtype=np.float32)
+    q = np.asarray(query_vec, dtype=np.float32)
+    order = (((cent - q[None, :]) ** 2).sum(-1)).argsort()[:nprobe]
+    probe = [int(b) for b in order]
+    return cosine_topk(
+        assigned.filter(F.col("bucket").isin(probe)),
+        query_vec, k=k, id_col=id_col, vec_col=vec_col,
+    )

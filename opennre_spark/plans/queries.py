@@ -514,6 +514,17 @@ def _q_ann_self_join(spark, sf_dir):
     return ann_self_join(spark.table("embeddings"), dim=64, cosine_threshold=0.5)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from ..operators.similarity import cosine_topk, ivf_assign, ivf_topk, train_ivf_centroids
+
+    _reg(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    q = emb.filter("vec_id = 0").select("embedding").first()[0]
+    cent = train_ivf_centroids(emb, dim=64, n_centroids=8)
+    assigned = ivf_assign(emb.filter("vec_id <> 0"), cent)
+    return ivf_topk(assigned, cent, list(q), k=10, nprobe=3)
+
+
 def _q_doc_stats(spark, sf_dir):
     from ..operators.textstats import document_stats
 
@@ -567,6 +578,7 @@ def queries() -> dict:
     out["dedup_minhash_lsh"] = _q_minhash_dedup
     out["dedup_simhash"] = _q_simhash
     out["ann_lsh_self_join"] = _q_ann_self_join
+    out["ann_ivf_topk"] = _q_ann_ivf
     out["text_document_stats"] = _q_doc_stats
     out["kg_entity_linking"] = _q_entity_linking
     out["media_feature_extract"] = _q_media_features

@@ -167,3 +167,31 @@ def test_multimodal_frame_sample_and_resize(spark):
     for r in rs:
         assert max(r.dst_width, r.dst_height) <= 64
         assert r.dst_width > 0 and r.dst_height > 0
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (coarse k-means buckets + nprobe search) finds most of the
+    exact top-k; nprobe = n_centroids degenerates to exact."""
+    rng = np.random.default_rng(21)
+    # clustered data so IVF buckets are meaningful
+    centers = rng.normal(size=(6, 16)).astype(np.float32) * 3
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.4, size=(40, 16)).astype(np.float32) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    q = [float(x) for x in vecs[7]]
+    exact = [r.vec_id for r in similarity.cosine_topk(df, q, k=10).collect()]
+
+    cent = similarity.train_ivf_centroids(df, dim=16, n_centroids=6, sample_rows=240)
+    assigned = similarity.ivf_assign(df, cent).cache()
+    assert assigned.count() == len(vecs)
+    approx = [r.vec_id for r in similarity.ivf_topk(assigned, cent, q, k=10, nprobe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, recall
+    # probing every bucket is exact
+    full = [r.vec_id for r in similarity.ivf_topk(assigned, cent, q, k=10, nprobe=6).collect()]
+    assert full == exact
+    df.unpersist(); assigned.unpersist()
