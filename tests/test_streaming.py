@@ -84,3 +84,57 @@ def test_mention_rate_windowed(spark, tmp_path):
     assert rows, "expected at least one closed window"
     for r in rows:
         assert want[(r.window_start, r.role)] == r.n_turns
+
+
+def test_stateful_conversation_tracker(spark, tmp_path):
+    """applyInPandasWithState: per-conv state accumulates ACROSS
+    micro-batches (two files, overlapping conversations)."""
+    from opennre_spark.streaming.stateful import conversation_tracker
+
+    from opennre_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    inp = str(tmp_path / "in3")
+    ckpt = str(tmp_path / "ckpt3")
+    full = transcripts_df(spark, 6)
+    # split each conversation's turns across two files
+    full.filter("turn_idx % 2 = 0").coalesce(1).write.mode("append").parquet(inp)
+    full.filter("turn_idx % 2 = 1").coalesce(1).write.mode("append").parquet(inp)
+
+    # one file per micro-batch so state must carry across batches
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        conversation_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("convstate")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from convstate").collect()
+    # the LAST emission per conversation must equal the batch totals
+    # (state carried across micro-batches)
+    want = {
+        r.conv_id: (r.n, r.mx)
+        for r in full.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    last = {}
+    for r in rows:
+        last[r.conv_id] = (r.n_turns, r.max_turn_idx)  # later rows overwrite
+    # rows arrive batch-ordered per group; max n_turns is the final state
+    best = {}
+    for r in rows:
+        cur = best.get(r.conv_id)
+        if cur is None or r.n_turns > cur[0]:
+            best[r.conv_id] = (r.n_turns, r.max_turn_idx)
+    assert best == want, (best, want)
+
+
+from pyspark.sql import functions as F  # noqa: E402
