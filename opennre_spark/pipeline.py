@@ -148,3 +148,45 @@ def extract_triples(
             F.col("n_sentences").alias("n_support"),
         )
     )
+
+
+def canonical_triples(triples: DataFrame) -> DataFrame:
+    """Rewrite triple endpoints to DISCOVERED canonical entities and
+    re-dedup — the full north-star composition: extract_triples ->
+    MinHash-LSH linking -> connected components -> canonical (subj,
+    pred, obj) table.
+
+    Endpoint entity ids map to surface names via the gazetteer dim
+    (broadcast, J5-shaped), names cluster by link_entities (J4), and
+    the canonical name keys the final facts-set dedup
+    (data_loader.py:156-164 idempotent-insert semantics).
+    """
+    from .operators.linking import link_entities
+    from .sources.transcripts import entities_df
+
+    spark = triples.sparkSession
+    ents = entities_df(spark).select("entity_id", "name")
+    names = ents.select("name")
+    mapping = link_entities(names)  # (name, canonical_name)
+    ent2canon = ents.join(mapping, "name").select(
+        "entity_id", "canonical_name"
+    )
+    m_subj = ent2canon.withColumnRenamed("entity_id", "subj").withColumnRenamed(
+        "canonical_name", "subj_canon"
+    )
+    m_obj = ent2canon.withColumnRenamed("entity_id", "obj").withColumnRenamed(
+        "canonical_name", "obj_canon"
+    )
+    return (
+        triples.join(F.broadcast(m_subj), "subj", "left")
+        .join(F.broadcast(m_obj), "obj", "left")
+        .select(
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            F.col("pred"),
+            F.coalesce("obj_canon", "obj").alias("obj"),
+            "score",
+            "n_support",
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.max("score").alias("score"), F.sum("n_support").alias("n_support"))
+    )

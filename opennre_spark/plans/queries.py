@@ -551,6 +551,14 @@ def _kg_pcnn(spark, sf_dir):
     return extract_triples(transcripts_df(spark, n), mode="sentence", pcnn=True)
 
 
+def _kg_canonical(spark, sf_dir):
+    from ..pipeline import canonical_triples, extract_triples
+    from ..sources.transcripts import transcripts_df
+
+    n = 80 if "0.01" in sf_dir else 40
+    return canonical_triples(extract_triples(transcripts_df(spark, n)))
+
+
 def _kg_bert(spark, sf_dir):
     from ..pipeline import extract_triples
     from ..sources.transcripts import transcripts_df
@@ -575,6 +583,7 @@ def queries() -> dict:
     out["kg_triples_wiki80"] = _kg_query("sentence", schema="wiki80")
     out["kg_triples_pcnn"] = _kg_pcnn
     out["kg_triples_bert"] = _kg_bert
+    out["kg_triples_canonical"] = _kg_canonical
     out["dedup_minhash_lsh"] = _q_minhash_dedup
     out["dedup_simhash"] = _q_simhash
     out["ann_lsh_self_join"] = _q_ann_self_join

@@ -70,3 +70,30 @@ def test_link_entities_matches_gold_clusters(spark):
         seen[rep] = canon
     assert not split_wrong, f"split clusters: {split_wrong[:3]}"
     assert not merged_wrong, f"merged clusters: {merged_wrong[:3]}"
+
+
+def test_canonical_triples_merges_variants(spark):
+    """Full composition: triples on variant entity ids collapse onto the
+    discovered canonical surface form."""
+    from opennre_spark.pipeline import canonical_triples
+
+    triples = spark.createDataFrame(
+        [
+            ("P000a", "founder_of", "O000a", 0.9, 2),  # Ada Moreno / Helix Dynamics
+            ("P000b", "founder_of", "O000b", 0.8, 1),  # A. Moreno / HELIX DYNAMICS
+            ("P001a", "spouse_of", "P002a", 0.7, 1),   # distinct pair stays
+        ],
+        "subj string, pred string, obj string, score double, n_support long",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (round(r.score, 6), r.n_support)
+        for r in canonical_triples(triples).collect()
+    }
+    # the two variant triples merged into one canonical fact
+    assert len(got) == 2
+    merged = [(k, v) for k, v in got.items() if k[1] == "founder_of"]
+    assert len(merged) == 1
+    (subj, _, obj), (score, support) = merged[0]
+    assert subj == "A. Moreno"  # lexicographically smallest cluster member
+    assert obj in ("HELIX DYNAMICS", "Helix Dynamics")
+    assert score == 0.9 and support == 3
