@@ -110,6 +110,24 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+def feature_digests(media: DataFrame) -> DataFrame:
+    """Driver/report-facing rendition of extract_features: the feature
+    vector is folded to a sortable scalar digest (md5 over the
+    6-decimal rendering of each component) so downstream tooling that
+    sorts/hashes rows never sees a raw array column. Library users who
+    need the vectors call extract_features directly."""
+    feats = extract_features(media)
+    digest = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.format_number(x.cast("double"), 6)),
+        )
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", digest.alias("feature_digest")
+    )
+
+
 def frame_sample(media: DataFrame, every_k: int = 5) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     index (real decoder would attach the frame payload). Pure Spark —

@@ -570,9 +570,56 @@ def _kg_bert(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    from ..operators.multimodal import extract_features, synthetic_media
+    # feature_digests, not extract_features: the driver canonicalizer
+    # sorts every output column, so the raw array<float> column must be
+    # folded to a scalar digest (the array API stays for library users).
+    from ..operators.multimodal import feature_digests, synthetic_media
 
-    return extract_features(synthetic_media(spark, 120))
+    return feature_digests(synthetic_media(spark, 120))
+
+
+def _q_media_frames(spark, sf_dir):
+    from ..operators.multimodal import frame_sample, synthetic_media
+
+    return frame_sample(synthetic_media(spark, 120), every_k=5)
+
+
+def _q_media_resize(spark, sf_dir):
+    from ..operators.multimodal import resize_plan, synthetic_media
+
+    return resize_plan(synthetic_media(spark, 120), max_side=64)
+
+
+# Oracles for callable-backed queries. synthetic_media's *metadata* is a
+# pure function of media_id (multimodal.synthetic_media), so the frame
+# sampler and resize planner are reproducible in plain SQL even though
+# the binary payload itself is not.
+_EXTRA_ORACLES: dict[str, str] = {
+    "media_frame_sample": """
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id, CAST(1 + i % 30 AS INTEGER) AS n_frames
+      FROM range(0, 120) t(i) WHERE i % 3 = 2
+    )
+    SELECT media_id,
+           CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_idx,
+           n_frames
+    FROM m
+    """,
+    "media_resize_plan": """
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CAST(64 + (i % 4) * 32 AS INTEGER) AS src_width,
+             CAST(64 AS INTEGER) AS src_height
+      FROM range(0, 120) t(i) WHERE i % 3 = 0
+    )
+    SELECT media_id, src_width, src_height,
+           CAST(round(src_width * least(64.0 / src_width, 64.0 / src_height, 1.0))
+                AS INTEGER) AS dst_width,
+           CAST(round(src_height * least(64.0 / src_width, 64.0 / src_height, 1.0))
+                AS INTEGER) AS dst_height
+    FROM m
+    """,
+}
 
 
 def queries() -> dict:
@@ -591,8 +638,12 @@ def queries() -> dict:
     out["text_document_stats"] = _q_doc_stats
     out["kg_entity_linking"] = _q_entity_linking
     out["media_feature_extract"] = _q_media_features
+    out["media_frame_sample"] = _q_media_frames
+    out["media_resize_plan"] = _q_media_resize
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec[1] for name, spec in _SPECS.items()}
+    out = {name: spec[1] for name, spec in _SPECS.items()}
+    out.update(_EXTRA_ORACLES)
+    return out
