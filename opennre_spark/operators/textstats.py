@@ -122,6 +122,13 @@ def fingerprint(text_col: Column) -> Column:
     return F.xxhash64(F.concat_ws(" ", _tokens(text_col)))
 
 
+def fingerprint_md5(text_col: Column) -> Column:
+    """Cross-engine fingerprint variant: md5 hex of the same
+    whitespace-normalized text (xxhash64 is Spark-only; md5 hex strings
+    agree with DuckDB, which makes this the oracle-checkable rendition)."""
+    return F.md5(F.concat_ws(" ", _tokens(text_col)))
+
+
 def document_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass per-document stat table."""
     t = F.col(text_col)

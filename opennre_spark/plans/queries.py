@@ -300,15 +300,30 @@ _spec(
     """,
 )
 
+# --- dup-bearing documents view ------------------------------------------
+# The synthetic documents table has NO duplicates, so dedup queries over
+# it pass vacuously (r1 verdict). This view seeds 30 exact duplicates
+# (doc_id % 17) and 22 near-duplicates (appended 3-token tail,
+# doc_id % 23) with identical SQL in both engines.
+_DOCS_DUP_VIEW = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, concat(text, ' tail marker words') AS text
+      FROM documents WHERE doc_id % 23 = 0
+"""
+
 # --- training-data ops: exact dedup (hash-groupBy) ----------------------
 _spec(
     "dedup_exact",
     ["documents"],
-    """
+    f"""
+    WITH docs AS ({_DOCS_DUP_VIEW})
     SELECT count(*) AS n_docs,
            count(DISTINCT md5(text)) AS n_unique,
            count(*) - count(DISTINCT md5(text)) AS n_exact_dups
-    FROM documents
+    FROM docs
     """,
 )
 
@@ -316,13 +331,38 @@ _spec(
 _spec(
     "dedup_keep_first",
     ["documents"],
-    """
+    f"""
+    WITH docs AS ({_DOCS_DUP_VIEW})
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_members
-    FROM documents
+    FROM docs
     GROUP BY md5(text)
     HAVING count(*) > 1
     """,
 )
+
+# Exact 3-token-shingle Jaccard over all pairs of the dup view — the
+# brute-force O(n^2) truth the MinHash-LSH path must reproduce (LSH with
+# 24 hashes / 12 bands has ~1e-4 per-pair miss probability at the 0.6
+# threshold; deterministic seeds make the match stable, and the exact
+# verification step already filters every blocked false positive).
+_DUCK_SHINGLE_PAIRS = f"""
+    docs AS ({_DOCS_DUP_VIEW}),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t)-2, 1))]) AS s
+      FROM toks
+    ),
+    exact_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+"""
 
 # --- text analysis: token counting ------------------------------------
 _spec(
@@ -493,11 +533,32 @@ def _kg_query(mode: str, schema: str = "reduced"):
 # --- rows-only entries (not ANSI-SQL-expressible; pytest-verified
 # against pure-python oracles in tests/) --------------------------------
 
+def _docs_dup_view(spark, sf_dir):
+    _reg(spark, sf_dir, "documents")
+    return spark.sql(f"SELECT doc_id, text FROM ({_DOCS_DUP_VIEW}) v")
+
+
+# high-recall LSH config for the oracle-checked dedup queries: 12 bands
+# of 2 rows => P(miss) = (1 - s^2)^12, ~1.2e-4 at the weakest seeded
+# near-dup (s = 0.727) and 0 for exact dups.
+_MINHASH_ORACLE_KW = dict(
+    jaccard_threshold=0.6, num_hashes=24, num_bands=12
+)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(_docs_dup_view(spark, sf_dir), **_MINHASH_ORACLE_KW)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_minhash_dedup(spark, sf_dir):
     from ..operators.dedup import minhash_dedup
 
-    _reg(spark, sf_dir, "documents")
-    return minhash_dedup(spark.table("documents"))
+    return minhash_dedup(_docs_dup_view(spark, sf_dir), **_MINHASH_ORACLE_KW)
 
 
 def _q_simhash(spark, sf_dir):
@@ -507,11 +568,63 @@ def _q_simhash(spark, sf_dir):
     return simhash(spark.table("documents"))
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    from ..operators.dedup import simhash_dup_pairs
+
+    # over the dup view: exact dups give hamming 0, near-dups small
+    # hamming — non-vacuous evidence for the banded blocking path.
+    return simhash_dup_pairs(_docs_dup_view(spark, sf_dir), max_hamming=3)
+
+
+# perturbed-copy embeddings view: every 10th vector re-appears with its
+# first component shifted +0.5 (unit-norm inputs => cosine ~0.88-0.93
+# against the source, far above the ~0.51 background max), giving the
+# ANN self-join 50 true pairs to find. SQL-identical in both engines
+# (Spark arr[0] == DuckDB arr[1]: 0- vs 1-based indexing).
+_EMB_PERTURBED_VIEW_SPARK = """
+      SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             concat(array(CAST(embedding[0] AS DOUBLE) + 0.5),
+                    transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE))) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+"""
+_EMB_PERTURBED_VIEW_DUCK = """
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             list_concat([CAST(embedding[1] AS DOUBLE) + 0.5],
+                         [CAST(x AS DOUBLE) for x in embedding[2:64]]) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
 def _q_ann_self_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from ..operators.similarity import ann_self_join
 
     _reg(spark, sf_dir, "embeddings")
-    return ann_self_join(spark.table("embeddings"), dim=64, cosine_threshold=0.5)
+    pairs = ann_self_join(spark.table("embeddings"), dim=64, cosine_threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _q_ann_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import ann_self_join
+
+    _reg(spark, sf_dir, "embeddings")
+    view = spark.sql(f"SELECT vec_id, embedding FROM ({_EMB_PERTURBED_VIEW_SPARK}) v")
+    # 8 bands of 2 sign bits: P(miss) = (1 - p^2)^8 ~ 6e-5 at the weakest
+    # true pair (cos 0.876 => p = 0.839); exact-cosine verify keeps the
+    # blocked-candidate output identical to the brute-force oracle.
+    pairs = ann_self_join(
+        view, dim=64, cosine_threshold=0.85, num_planes=16, num_bands=8
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -526,10 +639,26 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_doc_stats(spark, sf_dir):
-    from ..operators.textstats import document_stats
+    # the oracle-checkable projection of document_stats: every component
+    # function except n_pieces (lookaround regex — unsupported by
+    # DuckDB's RE2) and the xxhash64 fingerprint (Spark-only hash, so
+    # the md5 rendition stands in). Ratios rounded to 6 in both engines.
+    from pyspark.sql import functions as F
+
+    from ..operators import textstats as ts
 
     _reg(spark, sf_dir, "documents")
-    return document_stats(spark.table("documents"))
+    t = F.col("text")
+    return spark.table("documents").select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.round(ts.alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
+        ts.quality_score(t).alias("quality"),
+        ts.detect_lang(t).alias("lang_pred"),
+        ts.fingerprint_md5(t).alias("fingerprint_md5"),
+    )
 
 
 def _q_entity_linking(spark, sf_dir):
@@ -595,6 +724,95 @@ def _q_media_resize(spark, sf_dir):
 # sampler and resize planner are reproducible in plain SQL even though
 # the binary payload itself is not.
 _EXTRA_ORACLES: dict[str, str] = {
+    # brute-force exact-Jaccard truth for the MinHash-LSH pair finder
+    "dedup_minhash_pairs": f"""
+    WITH {_DUCK_SHINGLE_PAIRS}
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM exact_pairs WHERE jaccard >= 0.6
+    """,
+    # cluster truth: connected components over the exact pairs via a
+    # recursive min-label propagation (terminates: UNION dedups states)
+    "dedup_minhash_lsh": f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_PAIRS},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM exact_pairs WHERE jaccard >= 0.6
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM exact_pairs WHERE jaccard >= 0.6
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM docs
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    # exact all-pairs cosine truth for the hyperplane-LSH self-join
+    "ann_lsh_self_join": """
+    WITH ex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(a.v * b.v) AS dot,
+             sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos_sim
+    FROM pairs WHERE dot / (na * nb) >= 0.5
+    """,
+    "ann_cosine_pairs": f"""
+    WITH emb AS ({_EMB_PERTURBED_VIEW_DUCK}),
+    ex AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM emb
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(a.v * b.v) AS dot,
+             sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos_sim
+    FROM pairs WHERE dot / (na * nb) >= 0.85
+    """,
+    "text_document_stats": """
+    WITH toks AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, text, t,
+        len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','for','on','with'))) AS en,
+        len(list_filter(t, x -> x IN ('der','die','das','und','nicht','ist','ein','zu','mit','von'))) AS de,
+        len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es,
+        len(list_filter(t, x -> x IN ('le','la','de','et','un','est','pour','que','dans','avec'))) AS fr
+      FROM toks
+    )
+    SELECT doc_id,
+      CAST(len(t) AS BIGINT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text), 6) AS alpha_ratio,
+      round(CAST(en AS DOUBLE) / len(t), 6) AS stopword_ratio,
+      round(0.3 * least(CAST(len(t) AS DOUBLE) / 20.0, 1.0)
+          + 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text))
+          + 0.2 * (CAST(en AS DOUBLE) / len(t))
+          + 0.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 6) AS quality,
+      CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+           WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+           WHEN de >= es AND de >= fr THEN 'de'
+           WHEN es >= fr THEN 'es'
+           ELSE 'fr' END AS lang_pred,
+      md5(array_to_string(t, ' ')) AS fingerprint_md5
+    FROM hits
+    """,
     "media_frame_sample": """
     WITH m AS (
       SELECT CAST(i AS BIGINT) AS media_id, CAST(1 + i % 30 AS INTEGER) AS n_frames
@@ -632,8 +850,11 @@ def queries() -> dict:
     out["kg_triples_bert"] = _kg_bert
     out["kg_triples_canonical"] = _kg_canonical
     out["dedup_minhash_lsh"] = _q_minhash_dedup
+    out["dedup_minhash_pairs"] = _q_minhash_pairs
     out["dedup_simhash"] = _q_simhash
+    out["dedup_simhash_pairs"] = _q_simhash_pairs
     out["ann_lsh_self_join"] = _q_ann_self_join
+    out["ann_cosine_pairs"] = _q_ann_pairs
     out["ann_ivf_topk"] = _q_ann_ivf
     out["text_document_stats"] = _q_doc_stats
     out["kg_entity_linking"] = _q_entity_linking
