@@ -20,6 +20,86 @@ def _rank_order():
     return [F.col("score").desc(), "h_id", "t_id", "relation"]
 
 
+def ranked_cumsum(
+    df: DataFrame,
+    flag_col: str = "is_correct",
+    score_col: str = "score",
+    tiebreak: tuple = ("h_id", "t_id", "relation"),
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact global rank + running flag sum WITHOUT a single-reducer
+    window — the two-phase distributed prefix sum.
+
+    An unpartitioned `Window.orderBy(score)` moves every row through one
+    task (Spark's WindowExec warns exactly this); at 100x scale the
+    curve input is |pairs| x |relations| rows and that task is the
+    bottleneck. Instead:
+
+      phase 1: rows are bucketed by fixed uniform splits of the score
+        range [min, max] (width_bucket — deterministic, no sampling, so
+        re-evaluating the plan can never disagree with the collected
+        stats); a tiny groupBy collects per-bucket (count, flag sum) and
+        the driver turns them into per-bucket prefix offsets
+        (n_buckets rows).
+      phase 2: a window partitioned BY bucket computes the local
+        row_number/cumsum in parallel; adding the broadcast offsets
+        yields the exact global rank and running sum.
+
+    Ties in `score` land in the same bucket (bucketing is score-only),
+    so the within-bucket tiebreak ordering is globally total. Buckets
+    can skew if scores concentrate; at production scale swap the
+    uniform splits for precomputed score quantiles — the phase
+    structure is unchanged.
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism * 2, 16)
+    mn, mx = df.agg(F.min(score_col), F.max(score_col)).first()
+    if mn is None or mn == mx:
+        bucket = F.lit(1)
+    else:
+        bucket = F.width_bucket(
+            F.col(score_col), F.lit(mn), F.lit(mx), F.lit(n_buckets)
+        )
+    b = df.withColumn("__bucket", bucket.cast("int"))
+    stats = b.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(flag_col).alias("__c")
+    ).collect()
+    # score DESC order => offsets accumulate from the highest bucket down
+    offs, run_n, run_c = [], 0, 0
+    for r in sorted(stats, key=lambda r: -r["__bucket"]):
+        offs.append((r["__bucket"], run_n, run_c))
+        run_n += r["__n"]
+        run_c += int(r["__c"] or 0)
+    off_df = spark.createDataFrame(
+        offs or [(1, 0, 0)], "__bucket int, __off_n long, __off_c long"
+    )
+    order = [F.col(score_col).desc()] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy("__bucket").orderBy(*order)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        b.join(F.broadcast(off_df), "__bucket")
+        .withColumn("rank", (F.row_number().over(w) + F.col("__off_n")).cast("long"))
+        .withColumn(
+            "cum_correct",
+            (F.sum(flag_col).over(cum) + F.col("__off_c")).cast("long"),
+        )
+        .drop("__bucket", "__off_n", "__off_c")
+    )
+
+
+def _lag_by_rank(curve: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """lag(col) OVER (ORDER BY rank) without the single-partition window:
+    an equi-join of the curve with itself shifted by one rank. `cols`
+    maps source column -> lagged alias. Rows with no predecessor
+    (rank 1) are dropped — same as filtering lag IS NULL."""
+    prev = curve.select(
+        (F.col("rank") + 1).alias("rank"),
+        *[F.col(src).alias(dst) for src, dst in cols.items()],
+    )
+    return curve.join(prev, "rank")
+
+
 def pr_curve(predictions: DataFrame, facts: DataFrame) -> DataFrame:
     """Running precision/recall over score-ranked predictions
     (W1+W2, data_loader.py:250-275).
@@ -30,10 +110,10 @@ def pr_curve(predictions: DataFrame, facts: DataFrame) -> DataFrame:
 
     Correctness membership test = broadcast LEFT SEMI-shaped join (J2):
     facts are small relative to predictions (they are the distinct gold
-    set), so the probe side never shuffles for the join; the global
-    rank is a range-partitioned window (one narrow sort of the scored
-    output, which is |pairs| x |relations| — far smaller than the input
-    corpus).
+    set), so the probe side never shuffles for the join. The global
+    rank/cumulative-correct pair comes from the two-phase distributed
+    prefix sum (ranked_cumsum) — no row ever passes through a
+    single-reducer window.
     """
     marked = predictions.join(
         F.broadcast(facts.distinct().withColumn("is_correct", F.lit(1))),
@@ -41,14 +121,9 @@ def pr_curve(predictions: DataFrame, facts: DataFrame) -> DataFrame:
         "left",
     ).withColumn("is_correct", F.coalesce("is_correct", F.lit(0)))
 
-    w = Window.orderBy(*_rank_order())
-    cum = Window.orderBy(*_rank_order()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     total_facts = facts.distinct().count()
     return (
-        marked.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("cum_correct", F.sum("is_correct").over(cum).cast("long"))
+        ranked_cumsum(marked)
         .withColumn("prec", F.col("cum_correct").cast("double") / F.col("rank"))
         .withColumn(
             "rec", F.col("cum_correct").cast("double") / F.lit(float(total_facts))
@@ -71,13 +146,9 @@ def bag_eval(
     """
     curve = pr_curve(predictions, facts).cache()
     try:
-        # W3: trapezoidal AUC via lag window (sklearn.metrics.auc)
-        w = Window.orderBy("rank")
-        steps = curve.select(
-            "rank", "prec", "rec",
-            F.lag("prec").over(w).alias("lprec"),
-            F.lag("rec").over(w).alias("lrec"),
-        ).filter(F.col("lrec").isNotNull())
+        # W3: trapezoidal AUC (sklearn.metrics.auc) — rank-shift self-join
+        # instead of an unpartitioned lag window (single-reducer at scale)
+        steps = _lag_by_rank(curve, {"prec": "lprec", "rec": "lrec"})
         auc_row = steps.agg(
             F.sum((F.col("rec") - F.col("lrec")) * (F.col("prec") + F.col("lprec")) / 2.0)
         ).first()
@@ -217,22 +288,14 @@ def multilabel_sentence_eval(
 
     total_row = pos.agg(F.sum("label")).first()
     total = int(total_row[0] or 0)
-    w = Window.orderBy(F.col("score").desc(), "sent_id", "relation")
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     curve = (
-        pos.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("cum_correct", F.sum("label").over(cum).cast("long"))
+        ranked_cumsum(pos, flag_col="label", tiebreak=("sent_id", "relation"))
         .withColumn("prec", F.col("cum_correct").cast("double") / F.col("rank"))
         .withColumn("rec", F.col("cum_correct").cast("double") / F.lit(float(total)))
         .cache()
     )
     try:
-        wl = Window.orderBy("rank")
-        steps = curve.select(
-            "prec", "rec",
-            F.lag("prec").over(wl).alias("lprec"),
-            F.lag("rec").over(wl).alias("lrec"),
-        ).filter(F.col("lrec").isNotNull())
+        steps = _lag_by_rank(curve, {"prec": "lprec", "rec": "lrec"})
         auc_row = steps.agg(
             F.sum((F.col("rec") - F.col("lrec")) * (F.col("prec") + F.col("lprec")) / 2.0)
         ).first()

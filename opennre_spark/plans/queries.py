@@ -638,6 +638,31 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(assigned, cent, list(q), k=10, nprobe=3)
 
 
+def _q_w2_dist(spark, sf_dir):
+    """The distributed two-phase prefix-sum P/R curve (metrics.
+    ranked_cumsum — window partitioned by score bucket, never a single
+    reducer) checked against the same single-window SQL oracle as
+    w2_pr_curve: identical output, scale-safe plan."""
+    from pyspark.sql import functions as F
+
+    from ..operators.metrics import ranked_cumsum
+
+    _reg(spark, sf_dir, "events")
+    ev = spark.table("events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_correct"),
+    )
+    total = ev.agg(F.sum("is_correct")).first()[0]
+    ranked = ranked_cumsum(ev, tiebreak=("event_id",))
+    return ranked.select(
+        "rank",
+        "cum_correct",
+        (F.col("cum_correct").cast("double") / F.col("rank")).alias("prec"),
+        (F.col("cum_correct").cast("double") / F.lit(float(total))).alias("rec"),
+    )
+
+
 def _q_doc_stats(spark, sf_dir):
     # the oracle-checkable projection of document_stats: every component
     # function except n_pieces (lookaround regex — unsupported by
@@ -724,6 +749,9 @@ def _q_media_resize(spark, sf_dir):
 # sampler and resize planner are reproducible in plain SQL even though
 # the binary payload itself is not.
 _EXTRA_ORACLES: dict[str, str] = {
+    # same truth as w2_pr_curve — the Spark side is the two-phase
+    # distributed prefix sum instead of a single global window
+    "w2_pr_curve_dist": _W2_BODY,
     # brute-force exact-Jaccard truth for the MinHash-LSH pair finder
     "dedup_minhash_pairs": f"""
     WITH {_DUCK_SHINGLE_PAIRS}
@@ -856,6 +884,7 @@ def queries() -> dict:
     out["ann_lsh_self_join"] = _q_ann_self_join
     out["ann_cosine_pairs"] = _q_ann_pairs
     out["ann_ivf_topk"] = _q_ann_ivf
+    out["w2_pr_curve_dist"] = _q_w2_dist
     out["text_document_stats"] = _q_doc_stats
     out["kg_entity_linking"] = _q_entity_linking
     out["media_feature_extract"] = _q_media_features
