@@ -152,7 +152,7 @@ def default_bert_model(entity: bool = False, schema: str = "reduced"):
     from .bert_tokenization import build_wordpiece_vocab
 
     vocab = build_wordpiece_vocab()
-    rel2id = relations.REL2ID if schema == "reduced" else relations.wiki80_rel2id()
+    rel2id = relations.rel2id_for(schema)
     W = make_bert_weights(vocab_size=len(vocab))
     H = int(W["hidden"])
     rng = np.random.default_rng(4321)

@@ -90,19 +90,86 @@ def make_weights(
     }
 
 
+# torch state_dict key -> our weight-dict key, for wiki80_cnn_softmax /
+# pcnn-shaped checkpoints (module attribute names: base_encoder.py:56-69
+# word/pos embeddings, cnn_encoder.py:43 self.conv, softmax_nn.py:20
+# self.fc). nn.Conv1d stores (out, in, k) == our conv_w layout; nn.Linear
+# stores (num_class, rep) == our fc_w layout — no transposes needed.
+_STATE_DICT_MAP = {
+    "sentence_encoder.word_embedding.weight": "word_emb",
+    "sentence_encoder.pos1_embedding.weight": "pos1_emb",
+    "sentence_encoder.pos2_embedding.weight": "pos2_emb",
+    "sentence_encoder.conv.weight": "conv_w",
+    "sentence_encoder.conv.bias": "conv_b",
+    "fc.weight": "fc_w",
+    "fc.bias": "fc_b",
+}
+
+
+def load_state_dict_npz(path: str) -> dict[str, np.ndarray]:
+    """S4 checkpoint source: load a reference checkpoint exported to
+    .npz (tools/export_ckpt.py converts `torch.load(ckpt)['state_dict']`
+    — pretrain.py:147 — on a torch-equipped machine; this sandbox has no
+    torch, so the loader consumes the exported rendition).
+
+    Accepts either raw state-dict key names or already-mapped keys.
+    Derived fields (max_length, pcnn, att_diag) are inferred from the
+    shapes the same way the reference constructors size their modules
+    (base_encoder.py:68: pos tables have 2*max_length rows; a PCNN rep
+    is 3*hidden wide).
+    """
+    raw = dict(np.load(path))
+    w: dict[str, np.ndarray] = {}
+    for src, dst in _STATE_DICT_MAP.items():
+        if src in raw:
+            w[dst] = np.asarray(raw[src], dtype=np.float32)
+        elif dst in raw:
+            w[dst] = np.asarray(raw[dst], dtype=np.float32)
+        else:
+            raise KeyError(f"checkpoint missing {src!r} (or mapped {dst!r})")
+    hidden = w["conv_w"].shape[0]
+    w["att_diag"] = (
+        np.asarray(raw["att_diag"], dtype=np.float32)
+        if "att_diag" in raw
+        else np.ones((w["fc_w"].shape[1],), dtype=np.float32)
+    )
+    w["max_length"] = np.int64(w["pos1_emb"].shape[0] // 2)
+    w["pcnn"] = np.bool_(w["fc_w"].shape[1] == 3 * hidden)
+    return w
+
+
 @lru_cache(maxsize=8)
-def default_model(pcnn: bool = False, schema: str = "reduced"):
+def default_model(pcnn: bool = False, schema: str = "reduced", ckpt: str | None = None):
     """(vocab, weights) for a named schema — cached so every
     executor/test builds it exactly once per process.
 
-    schema: 'reduced' (8-relation NYT-style, NA=0) or 'wiki80'
-    (80 Wikidata properties, no NA — pretrain.py:136-146 wiki80 config).
+    schema: 'reduced' (8-relation NYT-style, NA=0), 'wiki80'
+    (80 Wikidata properties, no NA — pretrain.py:136-146 wiki80 config)
+    or 'nyt10' (53 Freebase relations, NA=0 — the reference's headline
+    distant-supervision benchmark, pretrain.py:126-148 + README.md:28-43).
+
+    ckpt: optional path to an exported .npz state dict (S4) — the
+    drop-in route for real reference weights; seed-frozen generation
+    stays the fallback. Shape mismatches against the schema fail fast.
     """
     from .. import relations
 
     vocab = build_vocab(relations.vocabulary_words())
-    rel2id = (
-        relations.REL2ID if schema == "reduced" else relations.wiki80_rel2id()
-    )
+    rel2id = relations.rel2id_for(schema)
+    if ckpt is not None:
+        weights = load_state_dict_npz(ckpt)
+        if weights["fc_w"].shape[0] != len(rel2id):
+            raise ValueError(
+                f"checkpoint has {weights['fc_w'].shape[0]} relations, "
+                f"schema {schema!r} has {len(rel2id)}"
+            )
+        if weights["word_emb"].shape[0] != len(vocab):
+            raise ValueError(
+                f"checkpoint vocab {weights['word_emb'].shape[0]} rows, "
+                f"engine vocab has {len(vocab)}"
+            )
+        if bool(weights["pcnn"]) != pcnn:
+            raise ValueError("checkpoint encoder kind does not match pcnn flag")
+        return vocab, weights
     weights = make_weights(num_rel=len(rel2id), vocab_size=len(vocab), pcnn=pcnn)
     return vocab, weights

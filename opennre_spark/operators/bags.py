@@ -22,6 +22,8 @@ partial (map-side) aggregate before the shuffle — preferred at scale.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -29,6 +31,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import kernels
+
+
+def resize_bag(pdf: pd.DataFrame, bag_size: int, h_id: str, t_id: str,
+               seed: int = 42) -> pd.DataFrame:
+    """A2 fixed-size bag resize, deterministic-seeded variant of
+    data_loader.py:185-190: oversized bags are sampled WITHOUT
+    replacement down to bag_size; undersized bags keep every member and
+    pad by sampling WITH replacement. The reference uses process-global
+    random.sample/np.random.choice (nondeterministic); here the RNG is
+    seeded per bag key so any executor produces the same resize.
+    Selection order: kept members stay in the stable sort order
+    (the reference's random permutation order is part of its
+    nondeterminism, excluded from the parity surface per SURVEY.md §7);
+    pad copies append at the end exactly like the reference's
+    `bag + list(np.random.choice(...))`."""
+    n = len(pdf)
+    seed64 = int.from_bytes(
+        hashlib.md5(f"{seed}|{h_id}|{t_id}".encode()).digest()[:8], "little"
+    )
+    rng = np.random.default_rng(seed64)
+    if n >= bag_size:
+        idx = np.sort(rng.choice(n, size=bag_size, replace=False))
+    else:
+        idx = np.concatenate(
+            [np.arange(n), rng.choice(n, size=bag_size - n, replace=True)]
+        )
+    return pdf.iloc[idx]
 
 BAG_SCHEMA = T.StructType([
     T.StructField("h_id", T.StringType(), False),
@@ -45,8 +74,11 @@ def bag_scores(
     method: str = "att",
     pcnn: bool = False,
     bag_cap: int = 0,
+    bag_size: int = 0,
+    bag_seed: int = 42,
     encoder: str | None = None,
     schema: str = "reduced",
+    ckpt: str | None = None,
 ) -> DataFrame:
     """Per-bag per-relation score vector via applyInPandas.
 
@@ -54,6 +86,11 @@ def bag_scores(
     (bag_average.py:117-131), or 'one' (bag_one.py:140-148).
     'att'/'avg' need the `rep` column (score_instances(with_rep=True));
     'one' needs only `scores`.
+
+    bag_size > 0 enables the reference's fixed-size resize path
+    (data_loader.py:185-190): sample-down without replacement /
+    pad-up with replacement, seeded per bag key (see resize_bag).
+    It supersedes bag_cap (the cap is the bag_size=0 skew guard).
     """
     if method not in ("att", "avg", "one"):
         raise ValueError(f"unknown bag method {method!r}")
@@ -70,7 +107,11 @@ def bag_scores(
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        if bag_cap > 0 and len(pdf) > bag_cap:
+        if bag_size > 0:
+            pdf = resize_bag(
+                pdf, bag_size, pdf["h_id"].iloc[0], pdf["t_id"].iloc[0], bag_seed
+            )
+        elif bag_cap > 0 and len(pdf) > bag_cap:
             pdf = pdf.iloc[:bag_cap]
         mat = np.asarray(pdf[value_col].tolist(), dtype=np.float32)
         if method == "one":
@@ -94,7 +135,7 @@ def bag_scores(
                 from ..functions.weights import default_model
 
                 _, weights = default_model(
-                    pcnn=(encoder == "pcnn"), schema=schema
+                    pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
                 )
             if method == "att":
                 out = kernels.bag_attention_eval(mat, weights)

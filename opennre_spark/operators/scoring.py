@@ -47,6 +47,7 @@ def score_instances(
     schema: str = "reduced",
     encoder: str | None = None,
     classifier: str = "softmax",
+    ckpt: str | None = None,
 ) -> DataFrame:
     """Score instance rows; returns the non-consumed input columns plus
     pred_rel_id int, pred_score float [, scores array<float>]
@@ -60,6 +61,8 @@ def score_instances(
     bert_encoder.py:106-215). The legacy `pcnn` flag maps to 'pcnn'.
     classifier: 'softmax' (SoftmaxNN, softmax_nn.py:53-54) or 'sigmoid'
     (SigmoidNN multi-label scoring, sigmoid_nn.py:39-40).
+    ckpt: optional exported .npz state dict (S4 checkpoint source,
+    weights.load_state_dict_npz) — CNN/PCNN path only.
     """
     if encoder is None:
         encoder = "pcnn" if pcnn else "cnn"
@@ -105,7 +108,9 @@ def score_instances(
                 return rep, kernels.softmax(logits, axis=-1)
 
         else:
-            vocab, weights = default_model(pcnn=(encoder == "pcnn"), schema=schema)
+            vocab, weights = default_model(
+                pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
+            )
             pad_id = vocab["[PAD]"]
             unk_id = vocab["[UNK]"]
             L = int(weights["max_length"])

@@ -45,6 +45,7 @@ def extract_triples(
     dedup_scoring: bool = False,
     schema: str = "reduced",
     encoder: str | None = None,
+    ckpt: str | None = None,
 ) -> DataFrame:
     """Emit the deduplicated (subj, pred, obj) triple table.
 
@@ -77,7 +78,7 @@ def extract_triples(
     if mode != "sentence":
         scoring_cols += ["conv_id", "turn_idx", "pair_turn_idx"]
     instances = instances.select(*scoring_cols)
-    rel2id = relations.REL2ID if schema == "reduced" else relations.wiki80_rel2id()
+    rel2id = relations.rel2id_for(schema)
     id2rel = {v: k for k, v in rel2id.items()}
 
     n_score_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
@@ -94,7 +95,7 @@ def extract_triples(
         if not dedup_scoring:
             return score_instances(
                 instances.repartition(n_score_parts),
-                schema=schema, encoder=encoder, **kw,
+                schema=schema, encoder=encoder, ckpt=ckpt, **kw,
             )
         key = ["text", "h_begin", "h_end", "t_begin", "t_end"]
         uniq = (
@@ -104,7 +105,7 @@ def extract_triples(
         )
         # the unique side keeps the full natural key for the join-back
         scored_u = score_instances(
-            uniq, schema=schema, encoder=encoder,
+            uniq, schema=schema, encoder=encoder, ckpt=ckpt,
             consumed=("h_name", "t_name"), **kw,
         )
         return instances.join(scored_u, key, "inner")
@@ -135,7 +136,8 @@ def extract_triples(
         with_scores=(mode == "one"),
     )
     bags = bag_scores(
-        scored, method=mode, bag_cap=bag_cap, encoder=encoder, schema=schema
+        scored, method=mode, bag_cap=bag_cap, encoder=encoder, schema=schema,
+        ckpt=ckpt,
     )
     per_rel = explode_bag_scores(bags, id2rel)
     return (

@@ -514,7 +514,7 @@ def _make_sql_query(name: str):
 
 # --- non-SQL-expressible entries: the KG pipeline itself ----------------
 
-def _kg_query(mode: str, schema: str = "reduced"):
+def _kg_query(mode: str, schema: str = "reduced", threshold: float | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..pipeline import extract_triples
         from ..sources.transcripts import transcripts_df
@@ -523,7 +523,9 @@ def _kg_query(mode: str, schema: str = "reduced"):
         # the input-shaped table at small scale; no external data)
         n = 80 if "0.01" in sf_dir else 40
         t = transcripts_df(spark, n)
-        thr = 0.15 if mode != "sentence" else 0.5
+        thr = threshold
+        if thr is None:
+            thr = 0.15 if mode != "sentence" else 0.5
         return extract_triples(t, mode=mode, threshold=thr, schema=schema)
 
     run.__name__ = f"q_kg_{mode}_{schema}"
@@ -874,6 +876,10 @@ def queries() -> dict:
     out["kg_triples_bag_att"] = _kg_query("att")
     out["kg_triples_bag_one"] = _kg_query("one")
     out["kg_triples_wiki80"] = _kg_query("sentence", schema="wiki80")
+    # NYT10 53-relation schema end-to-end: softmax mass spreads over 53
+    # classes, so the bag emission threshold drops accordingly
+    out["kg_triples_nyt10_att"] = _kg_query("att", schema="nyt10", threshold=0.05)
+    out["kg_triples_nyt10_one"] = _kg_query("one", schema="nyt10", threshold=0.05)
     out["kg_triples_pcnn"] = _kg_pcnn
     out["kg_triples_bert"] = _kg_bert
     out["kg_triples_canonical"] = _kg_canonical

@@ -27,6 +27,55 @@ def wiki80_rel2id() -> dict[str, int]:
         return json.load(f)
 
 
+def nyt10_rel2id() -> dict[str, int]:
+    """53-relation Freebase-style NYT10 schema (NA=0) — the reference's
+    headline distant-supervision benchmark (pretrain.py:126-148 wires the
+    nyt10 rel2id; README.md:28-43 publishes only NYT10 numbers). The
+    reference does NOT check the json in (download-only,
+    benchmark/download_nyt10.sh), so fixtures/nyt10_rel2id.json is
+    reconstructed from the published NYT10 (Riedel et al. 2010) relation
+    inventory: 52 Freebase predicates + NA at id 0, which is the shape
+    every reference eval assumes (positive labels = range(1, N),
+    data_loader.py:295-301)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "fixtures",
+        "nyt10_rel2id.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def rel2id_for(schema: str) -> dict[str, int]:
+    """Named schema -> rel2id map (S2 scan; one place so pipeline,
+    weights and queries can never disagree on a schema's labels)."""
+    if schema == "reduced":
+        return REL2ID
+    if schema == "wiki80":
+        return wiki80_rel2id()
+    if schema == "nyt10":
+        return nyt10_rel2id()
+    raise ValueError(f"unknown relation schema {schema!r}")
+
+
+# NYT10-style predicate names for the synthetic templates below: in
+# 'nyt10' schema mode the gold label of each positive template maps onto
+# the closest Freebase predicate, so synthetic corpora can exercise the
+# 53-relation schema end-to-end with non-NA facts.
+TEMPLATE_REL_TO_NYT10: dict[str, str] = {
+    "founder_of": "/business/company/founders",
+    "ceo_of": "/business/person/company",
+    "headquartered_in": "/location/location/contains",
+    "born_in": "/people/person/place_of_birth",
+    "capital_of": "/location/country/capital",
+    "employee_of": "/people/person/profession",
+    "spouse_of": "/people/family/members",
+}
+
 REL2ID: dict[str, int] = {
     "NA": 0,
     "founder_of": 1,

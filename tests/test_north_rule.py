@@ -13,7 +13,7 @@ from opennre_spark.sources.transcripts import transcripts_df
 from tests.oracle import reference_math as om
 
 
-@pytest.mark.parametrize("schema", ["reduced", "wiki80"])
+@pytest.mark.parametrize("schema", ["reduced", "wiki80", "nyt10"])
 def test_triple_pr_vs_reference_decisions(spark, schema):
     transcripts = transcripts_df(spark, 25).cache()
     # reference decisions: oracle-infer every candidate instance,
@@ -25,7 +25,7 @@ def test_triple_pr_vs_reference_decisions(spark, schema):
     from opennre_spark.functions.weights import default_model
 
     vocab, W = default_model(schema=schema)
-    rel2id = relations.REL2ID if schema == "reduced" else relations.wiki80_rel2id()
+    rel2id = relations.rel2id_for(schema)
     id2rel = {v: k for k, v in rel2id.items()}
     neg = na_rel_id(rel2id)
     want = set()

@@ -38,6 +38,28 @@ def test_wiki80_pipeline(spark, transcripts):
     assert na_rel_id(relations.wiki80_rel2id()) is None
 
 
+def test_nyt10_schema():
+    rel2id = relations.nyt10_rel2id()
+    assert len(rel2id) == 53
+    assert rel2id["NA"] == 0  # negative class at 0 (data_loader.py:295-301)
+    assert sorted(rel2id.values()) == list(range(53))
+    assert all(r == "NA" or r.startswith("/") for r in rel2id)
+    # every template relation maps onto a schema predicate
+    assert set(relations.TEMPLATE_REL_TO_NYT10.values()) <= set(rel2id)
+
+
+def test_nyt10_bag_pipeline(spark, transcripts):
+    """53-relation schema through the bag path: non-NA facts actually
+    emit (the 8->53 softmax spread lowers per-class mass, hence the
+    lower threshold) and every predicate is schema-legal."""
+    triples = extract_triples(
+        transcripts, mode="one", threshold=0.05, schema="nyt10"
+    ).collect()
+    assert triples
+    names = set(relations.nyt10_rel2id())
+    assert {r.pred for r in triples} <= names - {"NA"}
+
+
 def test_dedup_scoring_equivalence(spark, transcripts):
     """dedup_scoring=True must match to the reference parity tolerance:
     the kernel is pure, but BLAS blocking varies with batch composition,
@@ -83,6 +105,65 @@ def test_bag_cap_deterministic(spark, transcripts):
         for r in bag_scores(scored, method="one").collect()
     }
     assert any(n > 3 for n in full.values()), "fixture must have a big bag"
+    scored.unpersist()
+
+
+def test_bag_size_resize_parity(spark, transcripts):
+    """A2 fixed-size path (data_loader.py:185-190): undersized bags pad
+    WITH replacement, oversized bags sample WITHOUT replacement, seeded
+    per bag key. The loop oracle below re-derives the selection
+    independently from the documented seeding spec and applies the
+    already-parity-tested `one` kernel."""
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+
+    from opennre_spark.functions import kernels
+
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions)
+    scored = score_instances(instances, with_scores=True).cache()
+    rows = scored.collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r.h_id, r.t_id)].append(r)
+    K = 4
+    sizes = [len(m) for m in groups.values()]
+    assert any(n < K for n in sizes), "need an undersized bag (pad path)"
+    assert any(n > K for n in sizes), "need an oversized bag (sample path)"
+    want = {}
+    for (h, t), mem in groups.items():
+        mem.sort(
+            key=lambda r: (r.conv_id, r.turn_idx, r.pair_turn_idx, r.h_begin, r.t_begin)
+        )
+        n = len(mem)
+        seed64 = int.from_bytes(
+            hashlib.md5(f"42|{h}|{t}".encode()).digest()[:8], "little"
+        )
+        rng = np.random.default_rng(seed64)
+        if n >= K:
+            idx = np.sort(rng.choice(n, size=K, replace=False))
+        else:
+            idx = np.concatenate(
+                [np.arange(n), rng.choice(n, size=K - n, replace=True)]
+            )
+        mat = np.asarray([mem[i].scores for i in idx], dtype=np.float32)
+        # float64 before rounding: Spark returns the float32 scores as
+        # Python floats, so both sides must round on the same dtype
+        want[(h, t)] = tuple(np.round(kernels.bag_one_eval(mat).astype(np.float64), 6))
+    got = {
+        (r.h_id, r.t_id): tuple(np.round(r.scores, 6))
+        for r in bag_scores(scored, method="one", bag_size=K).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], k
+    # every emitted bag is exactly bag_size after the resize
+    assert all(
+        r.n_sentences == K
+        for r in bag_scores(scored, method="one", bag_size=K).collect()
+    )
     scored.unpersist()
 
 

@@ -1,0 +1,45 @@
+"""Export a reference OpenNRE torch checkpoint to the .npz state-dict
+rendition consumed by opennre_spark.functions.weights.load_state_dict_npz
+(S4 checkpoint source).
+
+Run on a machine that HAS torch (this sandbox does not):
+
+    python tools/export_ckpt.py wiki80_cnn_softmax.pth.tar out.npz
+
+The reference saves checkpoints as {'state_dict': OrderedDict[str,
+Tensor]} (sentence_re.py:133-139, bag_re.py:148-151) and loads them with
+torch.load(ckpt)['state_dict'] (pretrain.py:147,161,175); this script
+just materializes each tensor as a float32 numpy array under its
+state-dict key. fixtures/ckpt_reduced_cnn.npz in this repo is a tiny
+seed-generated stand-in with the same key layout, used by
+tests/test_checkpoint.py to prove the load path end-to-end.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        sys.exit("usage: export_ckpt.py <ckpt.pth.tar> <out.npz>")
+    try:
+        import torch
+    except ImportError:
+        sys.exit(
+            "torch is not installed in this environment; run the export "
+            "on a torch-equipped machine (the .npz it produces is "
+            "consumed here without torch)"
+        )
+    import numpy as np
+
+    state = torch.load(sys.argv[1], map_location="cpu")["state_dict"]
+    np.savez(
+        sys.argv[2],
+        **{k: v.detach().cpu().numpy().astype(np.float32) for k, v in state.items()},
+    )
+    print(f"wrote {len(state)} arrays to {sys.argv[2]}")
+
+
+if __name__ == "__main__":
+    main()
