@@ -44,12 +44,37 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     return {r.bucket for r in rows}
 
 
+def write_bucket(
+    triples: DataFrame, b: int, out_dir: str, iceberg_table: str | None = None
+) -> None:
+    """Land one bucket's triples idempotently.
+
+    Default path: parquet dynamic partition overwrite (replaces ONLY
+    bucket=<b> — the Iceberg replaceWhere analogue; this sandbox has no
+    Iceberg jars). iceberg_table: config-gated real-catalog path — pass
+    a table name resolvable through a configured `spark.sql.catalog.*`
+    (table partitioned by bucket) and the write becomes a DataFrameV2
+    `overwritePartitions()`, Iceberg's native dynamic overwrite with
+    snapshot isolation. Same idempotence contract either way."""
+    df = triples.withColumn("bucket", F.lit(b))
+    if iceberg_table is not None:
+        df.writeTo(iceberg_table).overwritePartitions()
+        return
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "triples"))
+    )
+
+
 def run_with_resume(
     transcripts: DataFrame,
     out_dir: str,
     n_buckets: int = 8,
     mode: str = "sentence",
     max_buckets: int | None = None,
+    iceberg_table: str | None = None,
     **extract_kwargs,
 ) -> list[dict]:
     """Process pending buckets one at a time, appending triples +
@@ -73,19 +98,13 @@ def run_with_resume(
         part = transcripts.filter(bucket_of(F.col("conv_id"), n_buckets) == b)
         n_turns = part.count()
         triples = extract_triples(part, mode=mode, **extract_kwargs)
-        (
-            triples.withColumn("bucket", F.lit(b))
-            .write.mode("overwrite")
-            # dynamic overwrite replaces ONLY bucket=<b> (the Iceberg
-            # replaceWhere analogue): re-processing after a crash
-            # between the data and manifest writes stays idempotent
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(os.path.join(out_dir, "triples"))
+        write_bucket(triples, b, out_dir, iceberg_table)
+        landed = (
+            spark.table(iceberg_table)
+            if iceberg_table is not None
+            else spark.read.parquet(os.path.join(out_dir, "triples"))
         )
-        n_triples = spark.read.parquet(
-            os.path.join(out_dir, "triples")
-        ).filter(F.col("bucket") == b).count()
+        n_triples = landed.filter(F.col("bucket") == b).count()
         row = {
             "bucket": b,
             "n_turns": n_turns,

@@ -143,6 +143,18 @@ def connected_components(
         .localCheckpoint()
     )
 
+    def edge_sig(df: DataFrame) -> tuple:
+        """Order-insensitive set signature (count, sum of per-edge
+        64-bit hashes, summed in decimal so ANSI mode can't overflow):
+        ONE action per round instead of two exceptAll passes — the
+        convergence check itself stays O(|E|) map-side work."""
+        r = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).first()
+        return (r[0], r[1])
+
+    sig = edge_sig(e)
     for _ in range(max_iter):
         # symmetrize: star operations need the full undirected adjacency.
         # Checkpointed: each round's plan references nbrs four times
@@ -174,12 +186,14 @@ def connected_components(
         )
         new_e = large.unionByName(small).filter(F.col("u") != F.col("v")).distinct()
         new_e = new_e.localCheckpoint()
-        # converged when every node points at a single min neighbor and
-        # nothing changed
-        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
-            e = new_e
-            break
+        # converged when the edge set reached a fixed point: compare the
+        # set signature against last round's (carried forward — no
+        # recomputation on the old side, single action per round)
+        new_sig = edge_sig(new_e)
         e = new_e
+        if new_sig == sig:
+            break
+        sig = new_sig
 
     comp = e.groupBy("u").agg(F.min("v").alias("mn"))
     comp = comp.select(
@@ -227,6 +241,17 @@ def link_entities(
         names.unpersist()
 
 
+def maybe_broadcast(df: DataFrame, limit_rows: int = 500_000) -> DataFrame:
+    """Broadcast-hint a mapping side only when a bounded probe proves it
+    small. An unconditional F.broadcast on the discovered-entity mapping
+    is fine for a gazetteer but OOMs the driver when a 100 TB corpus
+    discovers more entities than the broadcast limit; the probe
+    (limit(n+1).count() — short-circuits the scan) costs one cheap job
+    and falls back to letting AQE pick the join strategy."""
+    probe = df.limit(limit_rows + 1).count()
+    return F.broadcast(df) if probe <= limit_rows else df
+
+
 def canonicalize_triples(triples: DataFrame, mentions: DataFrame) -> DataFrame:
     """Rewrite triple subj/obj mention names to canonical cluster names
     and re-dedup — the final KG materialization step (distinct() on
@@ -244,8 +269,8 @@ def canonicalize_triples(triples: DataFrame, mentions: DataFrame) -> DataFrame:
         "canonical_name", "obj_canon"
     )
     return (
-        triples.join(F.broadcast(m_subj), "subj", "left")
-        .join(F.broadcast(m_obj), "obj", "left")
+        triples.join(maybe_broadcast(m_subj), "subj", "left")
+        .join(maybe_broadcast(m_obj), "obj", "left")
         .select(
             F.coalesce("subj_canon", "subj").alias("subj"),
             F.col("pred"),

@@ -163,7 +163,7 @@ def canonical_triples(triples: DataFrame) -> DataFrame:
     the canonical name keys the final facts-set dedup
     (data_loader.py:156-164 idempotent-insert semantics).
     """
-    from .operators.linking import link_entities
+    from .operators.linking import link_entities, maybe_broadcast
     from .sources.transcripts import entities_df
 
     spark = triples.sparkSession
@@ -179,9 +179,11 @@ def canonical_triples(triples: DataFrame) -> DataFrame:
     m_obj = ent2canon.withColumnRenamed("entity_id", "obj").withColumnRenamed(
         "canonical_name", "obj_canon"
     )
+    # size-gated: the DISCOVERED entity mapping can exceed broadcast
+    # limits at corpus scale; the gate probes before hinting
     return (
-        triples.join(F.broadcast(m_subj), "subj", "left")
-        .join(F.broadcast(m_obj), "obj", "left")
+        triples.join(maybe_broadcast(m_subj), "subj", "left")
+        .join(maybe_broadcast(m_obj), "obj", "left")
         .select(
             F.coalesce("subj_canon", "subj").alias("subj"),
             F.col("pred"),
