@@ -48,6 +48,107 @@ def embed_concat(
     )
 
 
+# ---------------------------------------------------------------------------
+# Cache-blocked conv path (round-2 rework of the 8->32 scaling miss).
+#
+# The shifted-GEMM conv (conv1d_same below) moves ~30 MB of DRAM traffic
+# per 256-row micro-batch (padded input copy + K write/read passes over a
+# (B*Lp, H) accumulator + the (B, L, H) output read back for pooling).
+# With 32 worker processes sharing one memory bus that traffic capped
+# scaling at ~0.65 efficiency (measured, tools/kernel_scaling.py).
+#
+# The blocked path instead processes SLAB-row slabs whose im2col matrix
+# (slab, Lc, K*C+1) and conv output (slab, Lc, H) both fit in a core's
+# private L2 (~1 MB at slab=32, Lc<=16): ONE fused GEMM per slab (bias
+# folded in as a constant 1-column against a stacked (K*C+1, H) weight
+# matrix) writes the conv map into cache, and the relu/pool (or PCNN
+# segment gating) consumes it before it ever reaches DRAM. Scratch
+# buffers are reused across calls (np.zeros/empty per call costs page
+# faults + kernel zeroing — real traffic at 32 workers). Measured
+# (tools/kernel_scaling.py, max-of-3, 40k rows/proc): 8 procs 96.7k ->
+# 104.7k rows/s, 32 procs 253k -> 365k rows/s; kernel 8->32 efficiency
+# 0.655 -> 0.872. Numerics: the fused GEMM sums the K*C reduction in one
+# pass, so scores move <4e-7 vs the 3-GEMM order — inside the reference's
+# own 1e-6 golden tolerance (tests/test_inference.py:11), and argmax
+# decisions are unchanged (north-rule tests stay exact).
+# ---------------------------------------------------------------------------
+
+_SCRATCH: dict = {}
+_CONV_SLAB = 32
+
+
+def _scratch(name: str, shape: tuple) -> np.ndarray:
+    """Reusable per-process float32 buffer: keyed by trailing dims (Lc
+    varies per micro-batch), grown monotonically along axis 0."""
+    key = (name,) + shape[1:]
+    b = _SCRATCH.get(key)
+    if b is None or b.shape[0] < shape[0]:
+        b = np.empty(shape, dtype=np.float32)
+        _SCRATCH[key] = b
+    return b[: shape[0]]
+
+
+_WB_CACHE: dict = {}
+
+
+def _stacked_conv_weights(cw: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(K*C+1, H): the K kernel taps stacked along the reduction axis
+    plus the bias as a final row (multiplied by the im2col constant-1
+    column). The strong ref in the cache entry pins the array so the
+    id key can never be reused while cached."""
+    e = _WB_CACHE.get(id(cw))
+    if e is not None and e[0] is cw:
+        return e[1]
+    H, C, K = cw.shape
+    Wb = np.empty((K * C + 1, H), dtype=np.float32)
+    for k in range(K):
+        Wb[k * C : (k + 1) * C] = cw[:, :, k].T
+    Wb[K * C] = cb
+    _WB_CACHE[id(cw)] = (cw, Wb)
+    return Wb
+
+
+def _conv_slabs(token, pos1, pos2, weights, Lc: int, slab: int = _CONV_SLAB):
+    """Yield (lo, hi, conv_slab) where conv_slab is the (S, Lc, H) conv
+    output (bias included, NO activation) for rows lo:hi — L2-resident,
+    for the caller to pool/gate in place before the next slab evicts it.
+
+    The im2col gathers embeddings per shift directly into the slab
+    buffer (tables are small and cache-hot, so the triple gather is
+    cheaper than materializing a padded copy and re-reading it)."""
+    we, p1e, p2e = weights["word_emb"], weights["pos1_emb"], weights["pos2_emb"]
+    cw, cb = weights["conv_w"], weights["conv_b"]
+    H, C, K = cw.shape
+    Wb = _stacked_conv_weights(cw, cb)
+    B = token.shape[0]
+    wsz = we.shape[1]
+    psz = p1e.shape[1]
+    X = _scratch("conv_X", (slab, Lc, K * C + 1))
+    X[:, :, K * C] = 1.0  # bias column
+    out = _scratch("conv_out", (slab, Lc, H))
+    for lo in range(0, B, slab):
+        hi = min(lo + slab, B)
+        S = hi - lo
+        sX = X[:S]
+        for k in range(K):
+            off = k - (K - 1) // 2  # window t covers tokens t+off
+            dst = sX[:, :, k * C : (k + 1) * C]
+            lo_t = max(0, -off)
+            hi_t = Lc - max(0, off)
+            if off < 0:
+                dst[:, :lo_t, :] = 0.0
+            elif off > 0:
+                dst[:, hi_t:, :] = 0.0
+            src = slice(lo_t + off, hi_t + off)
+            d = dst[:, lo_t:hi_t]
+            d[:, :, :wsz] = we[token[lo:hi, src]]
+            d[:, :, wsz : wsz + psz] = p1e[pos1[lo:hi, src]]
+            d[:, :, wsz + psz :] = p2e[pos2[lo:hi, src]]
+        sout = out[:S]
+        np.matmul(sX.reshape(S * Lc, K * C + 1), Wb, out=sout.reshape(S * Lc, H))
+        yield lo, hi, sout
+
+
 def conv1d_same(x: np.ndarray, w: np.ndarray, b: np.ndarray) -> np.ndarray:
     """1-D convolution over the length axis with symmetric zero padding.
 
@@ -99,12 +200,11 @@ def cnn_forward(
         Lc = int(min(int(n_real.max()) + 1, L))
     else:
         Lc = L
-    x = embed_concat(
-        token[:, :Lc], pos1[:, :Lc], pos2[:, :Lc],
-        weights["word_emb"], weights["pos1_emb"], weights["pos2_emb"],
-    )
-    c = conv1d_same(x, weights["conv_w"], weights["conv_b"])  # (B, Lc, H)
-    pooled = np.maximum(c, 0.0).max(axis=1)
+    H = weights["conv_w"].shape[0]
+    pooled = np.empty((token.shape[0], H), dtype=np.float32)
+    for lo, hi, c in _conv_slabs(token, pos1, pos2, weights, Lc):
+        np.maximum(c, 0.0, out=c)
+        pooled[lo:hi] = c.max(axis=1)
     if Lc < L:
         pad_contrib = np.maximum(weights["conv_b"], 0.0)
         # rows with n_real < L have at least one fully-pad window beyond
@@ -130,24 +230,22 @@ def pcnn_forward(
     reference's fixed _minus=-100 contract, pcnn_encoder.py:50).
     """
     L = token.shape[1]
-    if n_real is not None:
-        Lc = int(min(int(n_real.max()) + 1, L))
-        token, pos1, pos2, mask = (
-            a[:, :Lc] for a in (token, pos1, pos2, mask)
-        )
-    x = embed_concat(
-        token, pos1, pos2,
-        weights["word_emb"], weights["pos1_emb"], weights["pos2_emb"],
-    )
-    c = conv1d_same(x, weights["conv_w"], weights["conv_b"])  # (B, Lc, H)
-    # segment one-hots from the fixed identity table (pcnn_encoder.py:47-49)
-    outs = []
+    Lc = int(min(int(n_real.max()) + 1, L)) if n_real is not None else L
+    H = weights["conv_w"].shape[0]
+    B = token.shape[0]
+    pooled = np.empty((B, 3 * H), dtype=np.float32)
     minus = np.float32(-100.0)
-    for seg in (1, 2, 3):
-        gate = (mask == seg).astype(np.float32)  # (B, L)
-        shifted = c + minus * (1.0 - gate)[:, :, None]
-        outs.append(np.maximum(shifted, 0.0).max(axis=1))  # (B, H)
-    return np.concatenate(outs, axis=1).astype(np.float32, copy=False)
+    # segment one-hots from the fixed identity table (pcnn_encoder.py:47-49);
+    # the gating consumes each conv slab while it is still cache-resident
+    for lo, hi, c in _conv_slabs(token, pos1, pos2, weights, Lc):
+        m = mask[lo:hi, :Lc]
+        for seg in (1, 2, 3):
+            gate = (m == seg).astype(np.float32)  # (S, Lc)
+            shifted = c + minus * (1.0 - gate)[:, :, None]
+            pooled[lo:hi, (seg - 1) * H : seg * H] = np.maximum(
+                shifted, 0.0
+            ).max(axis=1)
+    return pooled
 
 
 def linear(rep: np.ndarray, fc_w: np.ndarray, fc_b: np.ndarray) -> np.ndarray:

@@ -107,34 +107,25 @@ def main():
             f"| {p['low']['turns_per_sec']} -> {p['high']['turns_per_sec']} "
             f"| {p['speedup']}x | **{p['efficiency']}** |"
         )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — throughput & scaling evidence
-
-North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors. No real cluster exists in this sandbox (BASELINE.md targets
-table), so the evidence is the identical flagship job — deterministic
-synthetic transcripts (byte-identical parquet at any parallelism) ->
-mention detection -> windowed candidate pairs -> CNN relation scoring ->
-triple dedup — at two N->4N parallelism pairs, each level in its own JVM.
-
-| pair (N -> 4N) | convs | turns | N wall (s) | 4N wall (s) | turns/s | speedup | efficiency |
-|---|---|---|---|---|---|---|---|
-{chr(10).join(rows)}
-
-Reading the two rows together: the 2->8 pair is the faithful model of
-adding EXECUTORS (each executor on a real cluster owns its own memory
-bus — both levels here run far below this box's DRAM ceiling). The
-8->32 pair squeezes 4N Python workers onto ONE 32-core memory bus and
-is memory-bandwidth-bound (the raw numpy kernel alone measures ~0.65
-efficiency at 32 concurrent processes on this machine), so it is a
-LOWER bound on what 4N distinct executors would achieve. Per-stage
-evidence: the only non-narrow stages are the conv_id candidate join and
-the triple aggregation; the scoring stage holds >90% executor-slot
-occupancy at both levels (event-log task metrics).
-
-Reproduce: `python tools/bench_scaling.py`.
-Per-round headline timings: `python bench.py` (BENCH_r*.json).
-""")
+    table = (
+        "| pair (N -> 4N) | convs | turns | N wall (s) | 4N wall (s) "
+        "| turns/s | speedup | efficiency |\n"
+        "|---|---|---|---|---|---|---|---|\n" + "\n".join(rows)
+    )
+    # refresh ONLY the marked table in BENCH.md — the narrative (machine
+    # ceiling, per-stage breakdown, kernel history) is maintained by hand
+    bench_md = os.path.join(REPO, "BENCH.md")
+    begin, end = "<!-- scaling-table:begin -->", "<!-- scaling-table:end -->"
+    with open(bench_md) as f:
+        md = f.read()
+    if begin in md and end in md:
+        pre, rest = md.split(begin, 1)
+        _, post = rest.split(end, 1)
+        md = pre + begin + "\n" + table + "\n" + end + post
+    else:
+        md += f"\n{begin}\n{table}\n{end}\n"
+    with open(bench_md, "w") as f:
+        f.write(md)
 
 
 if __name__ == "__main__":
