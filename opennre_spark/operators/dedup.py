@@ -191,6 +191,38 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return docs.select(id_col, packed.alias("simhash"))
 
 
+def embedding_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    cosine_threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering: hyperplane-LSH
+    blocked candidate pairs verified with exact cosine
+    (similarity.ann_self_join), clustered by connected components.
+    Returns (vec_id, cluster_id) where cluster_id = min member id;
+    singletons map to themselves — same contract as minhash_dedup, the
+    embedding-space rendition of near-dup detection for training
+    corpora."""
+    from .similarity import ann_self_join
+
+    pairs = ann_self_join(
+        embeddings, dim, cosine_threshold, id_col=id_col, vec_col=vec_col,
+        **lsh_kwargs,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        embeddings.select(id_col)
+        .join(comp, embeddings[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def simhash_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -613,6 +613,18 @@ def _q_ann_self_join(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup clusters over the perturbed view;
+    oracle = exact all-pairs cosine edges + recursive-CTE components."""
+    from ..operators.dedup import embedding_dedup
+
+    _reg(spark, sf_dir, "embeddings")
+    view = spark.sql(f"SELECT vec_id, embedding FROM ({_EMB_PERTURBED_VIEW_SPARK}) v")
+    return embedding_dedup(
+        view, dim=64, cosine_threshold=0.85, num_planes=16, num_bands=8
+    )
+
+
 def _q_ann_pairs(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -638,6 +650,25 @@ def _q_ann_ivf(spark, sf_dir):
     cent = train_ivf_centroids(emb, dim=64, n_centroids=8)
     assigned = ivf_assign(emb.filter("vec_id <> 0"), cent)
     return ivf_topk(assigned, cent, list(q), k=10, nprobe=3)
+
+
+def _q_ann_ivf_exhaustive(spark, sf_dir):
+    """IVF with nprobe == n_centroids probes every bucket, so the result
+    must equal exact brute-force cosine top-k — which makes the whole
+    ivf_assign/ivf_topk machinery oracle-checkable against the same SQL
+    as ann_cosine_topk (the approximate nprobe<n variant stays rows-only
+    by nature, with a pytest recall bound)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import ivf_assign, ivf_topk, train_ivf_centroids
+
+    _reg(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    q = emb.filter("vec_id = 0").select("embedding").first()[0]
+    cent = train_ivf_centroids(emb, dim=64, n_centroids=8)
+    assigned = ivf_assign(emb.filter("vec_id <> 0"), cent)
+    out = ivf_topk(assigned, cent, list(q), k=10, nprobe=8)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def _q_w2_dist(spark, sf_dir):
@@ -697,6 +728,28 @@ def _q_entity_linking(spark, sf_dir):
         [(n,) for _, n, _ in relations.gazetteer()], "name string"
     )
     return link_entities(names)
+
+
+# surface-form variants of the nation names (a table DuckDB can see), so
+# the FULL linking pass — MinHash-LSH blocking + exact-Jaccard verify +
+# connected components + min-name canonicalization — gets a DuckDB
+# oracle: brute-force all-pairs char-3-shingle Jaccard + recursive-CTE
+# components.
+_NATION_VARIANTS = """
+      SELECT n_name AS name FROM nation
+      UNION ALL
+      SELECT lower(n_name) AS name FROM nation
+      UNION ALL
+      SELECT concat(n_name, ' region') AS name FROM nation WHERE n_nationkey % 3 = 0
+"""
+
+
+def _q_linking_nations(spark, sf_dir):
+    from ..operators.linking import link_entities
+
+    _reg(spark, sf_dir, "nation")
+    names = spark.sql(f"SELECT DISTINCT name FROM ({_NATION_VARIANTS}) v")
+    return link_entities(names, jaccard_threshold=0.27)
 
 
 def _kg_pcnn(spark, sf_dir):
@@ -776,6 +829,83 @@ _EXTRA_ORACLES: dict[str, str] = {
     )
     SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
     FROM reach GROUP BY node
+    """,
+    # full linking pass vs brute-force shingle Jaccard + recursive CC
+    "link_nation_variants": f"""
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT name FROM ({_NATION_VARIANTS}) v
+    ),
+    sh AS (
+      SELECT name,
+             list_distinct([substr(p, i, 3)
+                            for i in generate_series(1, greatest(length(p) - 2, 1))]) AS s
+      FROM (SELECT name, concat('^', lower(name), '$') AS p FROM names) t
+    ),
+    pairs AS (
+      SELECT a.name AS na, b.name AS nb
+      FROM sh a JOIN sh b ON a.name < b.name
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.27
+    ),
+    edges AS (
+      SELECT na AS a, nb AS b FROM pairs UNION ALL SELECT nb AS a, na AS b FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT name, name FROM names
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT node AS name, min(lbl) AS canonical_name FROM reach GROUP BY node
+    """,
+    # embedding-cosine near-dup clusters: exact cosine edges + CC
+    "dedup_embedding_clusters": f"""
+    WITH RECURSIVE emb AS ({_EMB_PERTURBED_VIEW_DUCK}),
+    ex AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM emb
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+      HAVING sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) >= 0.85
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM emb
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    # exhaustive-probe IVF == exact brute-force cosine top-k
+    "ann_ivf_exhaustive": """
+    WITH q AS (
+      SELECT i, CAST(v AS DOUBLE) AS v FROM (
+        SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0)
+    ),
+    ex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    scored AS (
+      SELECT ex.vec_id,
+             sum(ex.v * q.v) AS dot,
+             sqrt(sum(ex.v * ex.v)) AS na,
+             sqrt(sum(q.v * q.v)) AS nb
+      FROM ex JOIN q USING (i)
+      GROUP BY ex.vec_id
+    )
+    SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim
+    FROM scored
+    ORDER BY round(dot / (na * nb), 6) DESC, vec_id
+    LIMIT 10
     """,
     # exact all-pairs cosine truth for the hyperplane-LSH self-join
     "ann_lsh_self_join": """
@@ -889,7 +1019,10 @@ def queries() -> dict:
     out["dedup_simhash_pairs"] = _q_simhash_pairs
     out["ann_lsh_self_join"] = _q_ann_self_join
     out["ann_cosine_pairs"] = _q_ann_pairs
+    out["dedup_embedding_clusters"] = _q_embedding_dedup
     out["ann_ivf_topk"] = _q_ann_ivf
+    out["ann_ivf_exhaustive"] = _q_ann_ivf_exhaustive
+    out["link_nation_variants"] = _q_linking_nations
     out["w2_pr_curve_dist"] = _q_w2_dist
     out["text_document_stats"] = _q_doc_stats
     out["kg_entity_linking"] = _q_entity_linking
