@@ -86,37 +86,64 @@ def make_bert_weights(
     return w
 
 
+# fused per-layer weights, cached per weight-set (strong ref pins ids)
+_BERT_FUSED: dict = {}
+
+
+def _fused_qkv(W: dict, i: int):
+    key = id(W[f"l{i}_q_w"])
+    e = _BERT_FUSED.get(key)
+    if e is not None and e[0] is W[f"l{i}_q_w"]:
+        return e[1], e[2]
+    qkv_w = np.concatenate(
+        [W[f"l{i}_q_w"], W[f"l{i}_k_w"], W[f"l{i}_v_w"]], axis=1
+    ).astype(np.float32)  # (H, 3H)
+    qkv_b = np.concatenate(
+        [W[f"l{i}_q_b"], W[f"l{i}_k_b"], W[f"l{i}_v_b"]]
+    ).astype(np.float32)
+    _BERT_FUSED[key] = (W[f"l{i}_q_w"], qkv_w, qkv_b)
+    return qkv_w, qkv_b
+
+
 def bert_forward(token: np.ndarray, att_mask: np.ndarray, W: dict):
-    """(B, L) ids + mask -> (hidden (B, L, H) float32, pooled (B, H))."""
+    """(B, L) ids + mask -> (hidden (B, L, H) float32, pooled (B, H)).
+
+    GEMM shape discipline (round 2): every (B, L, H) @ (H, ·) projection
+    is flattened to ONE (B*L, H) GEMM — numpy's 3-D @ 2-D broadcasts
+    into B separate small GEMMs, which wastes BLAS efficiency at L=64 —
+    and the Q/K/V projections fuse into a single (H, 3H) GEMM (weights
+    stacked once per process). Same math; results move within the
+    2e-5 parity tolerance (BLAS blocking varies with M, see tests)."""
     B, L = token.shape
     H = int(W["hidden"])
     heads = int(W["heads"])
     dh = H // heads
     x = W["word_emb"][token] + W["pos_emb"][:L][None, :, :] + W["type_emb"][0]
-    x = layer_norm(x.astype(np.float32), W["emb_ln_g"], W["emb_ln_b"])
+    x = layer_norm(np.asarray(x, dtype=np.float32), W["emb_ln_g"], W["emb_ln_b"])
     # additive mask: 0 for content, -10000 for padding (HF convention)
     add_mask = ((1.0 - att_mask.astype(np.float32)) * np.float32(-10000.0))[
         :, None, None, :
     ]  # (B, 1, 1, L)
     scale = np.float32(1.0 / np.sqrt(dh))
     for i in range(int(W["layers"])):
-        q = (x @ W[f"l{i}_q_w"] + W[f"l{i}_q_b"]).reshape(B, L, heads, dh)
-        k = (x @ W[f"l{i}_k_w"] + W[f"l{i}_k_b"]).reshape(B, L, heads, dh)
-        v = (x @ W[f"l{i}_v_w"] + W[f"l{i}_v_b"]).reshape(B, L, heads, dh)
-        q = q.transpose(0, 2, 1, 3)  # (B, heads, L, dh)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
+        x2 = x.reshape(B * L, H)
+        qkv_w, qkv_b = _fused_qkv(W, i)
+        qkv = x2 @ qkv_w + qkv_b  # (B*L, 3H), one GEMM
+        q = qkv[:, :H].reshape(B, L, heads, dh).transpose(0, 2, 1, 3)
+        k = qkv[:, H : 2 * H].reshape(B, L, heads, dh).transpose(0, 2, 1, 3)
+        v = qkv[:, 2 * H :].reshape(B, L, heads, dh).transpose(0, 2, 1, 3)
         scores = (q @ k.transpose(0, 1, 3, 2)) * scale + add_mask
-        att = softmax(scores.astype(np.float32), axis=-1)
-        ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, H)
+        att = softmax(np.asarray(scores, dtype=np.float32), axis=-1)
+        ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B * L, H)
         attn_out = ctx @ W[f"l{i}_o_w"] + W[f"l{i}_o_b"]
         x = layer_norm(
-            (x + attn_out).astype(np.float32),
+            np.asarray(x2 + attn_out, dtype=np.float32).reshape(B, L, H),
             W[f"l{i}_att_ln_g"], W[f"l{i}_att_ln_b"],
         )
-        ffn = gelu(x @ W[f"l{i}_i_w"] + W[f"l{i}_i_b"]) @ W[f"l{i}_f_w"] + W[f"l{i}_f_b"]
+        x2 = x.reshape(B * L, H)
+        ffn = gelu(x2 @ W[f"l{i}_i_w"] + W[f"l{i}_i_b"]) @ W[f"l{i}_f_w"] + W[f"l{i}_f_b"]
         x = layer_norm(
-            (x + ffn).astype(np.float32),
+            np.asarray(x2 + ffn, dtype=np.float32).reshape(B, L, H),
             W[f"l{i}_ffn_ln_g"], W[f"l{i}_ffn_ln_b"],
         )
     pooled = np.tanh(x[:, 0, :] @ W["pool_w"] + W["pool_b"]).astype(np.float32)
