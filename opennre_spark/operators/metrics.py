@@ -26,6 +26,7 @@ def ranked_cumsum(
     score_col: str = "score",
     tiebreak: tuple = ("h_id", "t_id", "relation"),
     n_buckets: int | None = None,
+    buckets: str = "uniform",
 ) -> DataFrame:
     """Exact global rank + running flag sum WITHOUT a single-reducer
     window — the two-phase distributed prefix sum.
@@ -46,21 +47,36 @@ def ranked_cumsum(
         yields the exact global rank and running sum.
 
     Ties in `score` land in the same bucket (bucketing is score-only),
-    so the within-bucket tiebreak ordering is globally total. Buckets
-    can skew if scores concentrate; at production scale swap the
-    uniform splits for precomputed score quantiles — the phase
-    structure is unchanged.
+    so the within-bucket tiebreak ordering is globally total.
+
+    buckets='uniform' splits [min, max] evenly (one cheap agg; can skew
+    if scores concentrate). buckets='quantile' spends one approxQuantile
+    pass to place boundaries at score quantiles, evening the per-bucket
+    row counts — the production choice for skewed score distributions.
+    Either way the boundaries become PLAN LITERALS before phase 1 runs,
+    so both phases see identical bucketing by construction.
     """
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = max(spark.sparkContext.defaultParallelism * 2, 16)
-    mn, mx = df.agg(F.min(score_col), F.max(score_col)).first()
-    if mn is None or mn == mx:
-        bucket = F.lit(1)
+    if buckets == "quantile":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(df.approxQuantile(score_col, probs, 0.01)))
+        if not bounds:
+            bucket = F.lit(1)
+        else:
+            # bucket = #{boundaries <= score}: one codegen'd expression
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            s = F.col(score_col)
+            bucket = F.size(F.filter(barr, lambda b: s >= b)) + F.lit(1)
     else:
-        bucket = F.width_bucket(
-            F.col(score_col), F.lit(mn), F.lit(mx), F.lit(n_buckets)
-        )
+        mn, mx = df.agg(F.min(score_col), F.max(score_col)).first()
+        if mn is None or mn == mx:
+            bucket = F.lit(1)
+        else:
+            bucket = F.width_bucket(
+                F.col(score_col), F.lit(mn), F.lit(mx), F.lit(n_buckets)
+            )
     b = df.withColumn("__bucket", bucket.cast("int"))
     stats = b.groupBy("__bucket").agg(
         F.count(F.lit(1)).alias("__n"), F.sum(flag_col).alias("__c")

@@ -62,6 +62,32 @@ def test_pr_curve_parity(spark_dfs, fixture):
         assert abs(got_p - p) < 1e-12 and abs(got_r - r) < 1e-12, i
 
 
+def test_ranked_cumsum_quantile_buckets(spark_dfs):
+    """buckets='quantile' must produce IDENTICAL ranks/cumsums to
+    'uniform' (the bucketing only relocates partition boundaries) while
+    evening the per-bucket row spread on skewed scores."""
+    from pyspark.sql import functions as F
+
+    from opennre_spark.operators.metrics import ranked_cumsum
+
+    pred_df, facts_df = spark_dfs
+    marked = pred_df.join(
+        F.broadcast(facts_df.withColumn("is_correct", F.lit(1))),
+        ["h_id", "t_id", "relation"],
+        "left",
+    ).withColumn("is_correct", F.coalesce("is_correct", F.lit(0)))
+    uni = {
+        (r.h_id, r.t_id, r.relation): (r["rank"], r.cum_correct)
+        for r in ranked_cumsum(marked, buckets="uniform").collect()
+    }
+    qua = {
+        (r.h_id, r.t_id, r.relation): (r["rank"], r.cum_correct)
+        for r in ranked_cumsum(marked, buckets="quantile").collect()
+    }
+    assert uni == qua
+    assert len(uni) == marked.count()
+
+
 def test_bag_eval_parity(spark_dfs, fixture):
     preds, facts = fixture
     got = bag_eval(*spark_dfs, rel_count=len(relations.REL2ID))
