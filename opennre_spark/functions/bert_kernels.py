@@ -101,6 +101,10 @@ def _fused_qkv(W: dict, i: int):
     qkv_b = np.concatenate(
         [W[f"l{i}_q_b"], W[f"l{i}_k_b"], W[f"l{i}_v_b"]]
     ).astype(np.float32)
+    # bounded (strong refs pin evicted weight sets otherwise); 64 covers
+    # 4 cached models x 12 layers before a rebuild cycle
+    if len(_BERT_FUSED) >= 64:
+        _BERT_FUSED.clear()
     _BERT_FUSED[key] = (W[f"l{i}_q_w"], qkv_w, qkv_b)
     return qkv_w, qkv_b
 

@@ -104,6 +104,11 @@ def _stacked_conv_weights(cw: np.ndarray, cb: np.ndarray) -> np.ndarray:
     for k in range(K):
         Wb[k * C : (k + 1) * C] = cw[:, :, k].T
     Wb[K * C] = cb
+    # bounded: the strong refs pin weight sets that lru_cache may have
+    # evicted — clear rather than grow without limit on long-lived
+    # executors cycling many (schema, ckpt) combinations
+    if len(_WB_CACHE) >= 16:
+        _WB_CACHE.clear()
     _WB_CACHE[id(cw)] = (cw, Wb)
     return Wb
 

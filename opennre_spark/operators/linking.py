@@ -186,14 +186,20 @@ def connected_components(
         )
         new_e = large.unionByName(small).filter(F.col("u") != F.col("v")).distinct()
         new_e = new_e.localCheckpoint()
-        # converged when the edge set reached a fixed point: compare the
-        # set signature against last round's (carried forward — no
-        # recomputation on the old side, single action per round)
+        # converged when the edge set reached a fixed point. The cheap
+        # signature (one action/round, previous round's carried forward)
+        # SCREENS for candidate convergence; an exact exceptAll equality
+        # check then CONFIRMS it — the expensive two-action comparison
+        # runs only at the (single) candidate round, and a 64-bit
+        # hash-sum collision can never silently truncate the iteration.
         new_sig = edge_sig(new_e)
-        e = new_e
-        if new_sig == sig:
+        if new_sig == sig and new_e.exceptAll(e).isEmpty() and e.exceptAll(
+            new_e
+        ).isEmpty():
+            e = new_e
             break
         sig = new_sig
+        e = new_e
 
     comp = e.groupBy("u").agg(F.min("v").alias("mn"))
     comp = comp.select(
@@ -241,15 +247,20 @@ def link_entities(
         names.unpersist()
 
 
-def maybe_broadcast(df: DataFrame, limit_rows: int = 500_000) -> DataFrame:
-    """Broadcast-hint a mapping side only when a bounded probe proves it
-    small. An unconditional F.broadcast on the discovered-entity mapping
-    is fine for a gazetteer but OOMs the driver when a 100 TB corpus
-    discovers more entities than the broadcast limit; the probe
-    (limit(n+1).count() — short-circuits the scan) costs one cheap job
-    and falls back to letting AQE pick the join strategy."""
-    probe = df.limit(limit_rows + 1).count()
-    return F.broadcast(df) if probe <= limit_rows else df
+def broadcast_hint_if_small(df: DataFrame, limit_rows: int = 500_000):
+    """(materialized df, hint fn): broadcast-hint a mapping only when a
+    bounded probe proves it small. An unconditional F.broadcast on the
+    discovered-entity mapping is fine for a gazetteer but OOMs the
+    driver when a 100 TB corpus discovers more entities than the
+    broadcast limit. The df is localCheckpoint'ed first so the probe and
+    every downstream join read the materialized rows instead of
+    re-executing the linking lineage (review finding: probing two
+    renamed views of the same uncached mapping ran the MinHash+CC
+    pipeline four times). One probe decides for all consumers."""
+    materialized = df.localCheckpoint()
+    small = materialized.limit(limit_rows + 1).count() <= limit_rows
+    hint = F.broadcast if small else (lambda d: d)
+    return materialized, hint
 
 
 def canonicalize_triples(triples: DataFrame, mentions: DataFrame) -> DataFrame:
@@ -261,7 +272,7 @@ def canonicalize_triples(triples: DataFrame, mentions: DataFrame) -> DataFrame:
     triples: (subj, pred, obj, score, n_support) where subj/obj are
     surface names; mentions: any DF with a `name` column.
     """
-    mapping = link_entities(mentions)
+    mapping, hint = broadcast_hint_if_small(link_entities(mentions))
     m_subj = mapping.withColumnRenamed("name", "subj").withColumnRenamed(
         "canonical_name", "subj_canon"
     )
@@ -269,8 +280,8 @@ def canonicalize_triples(triples: DataFrame, mentions: DataFrame) -> DataFrame:
         "canonical_name", "obj_canon"
     )
     return (
-        triples.join(maybe_broadcast(m_subj), "subj", "left")
-        .join(maybe_broadcast(m_obj), "obj", "left")
+        triples.join(hint(m_subj), "subj", "left")
+        .join(hint(m_obj), "obj", "left")
         .select(
             F.coalesce("subj_canon", "subj").alias("subj"),
             F.col("pred"),

@@ -55,28 +55,43 @@ def ranked_cumsum(
     row counts — the production choice for skewed score distributions.
     Either way the boundaries become PLAN LITERALS before phase 1 runs,
     so both phases see identical bucketing by construction.
+
+    NULL scores take bucket 0 (the lowest) — they rank after every
+    non-NULL score, matching a DESC NULLS LAST window ordering.
+
+    The input is localCheckpoint'ed first: phase 1 (stats) and phase 2
+    (the returned plan) would otherwise each re-execute the full
+    upstream lineage — for pr_curve that lineage is the CNN scoring
+    pipeline, so one materialization of the (small) prediction set here
+    buys back two re-runs of the expensive part.
     """
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = max(spark.sparkContext.defaultParallelism * 2, 16)
+    df = df.localCheckpoint()
+    s = F.col(score_col)
     if buckets == "quantile":
         probs = [i / n_buckets for i in range(1, n_buckets)]
         bounds = sorted(set(df.approxQuantile(score_col, probs, 0.01)))
         if not bounds:
-            bucket = F.lit(1)
+            nonnull = F.lit(1)
         else:
-            # bucket = #{boundaries <= score}: one codegen'd expression
-            barr = F.array(*[F.lit(float(b)) for b in bounds])
-            s = F.col(score_col)
-            bucket = F.size(F.filter(barr, lambda b: s >= b)) + F.lit(1)
+            # bucket = 1 + #{boundaries <= score}; a plain CASE-sum, NOT a
+            # higher-order-function lambda — a lambda capturing the outer
+            # score column mis-binds when Catalyst rewrites the aliased
+            # expression as a join key (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+            # on Spark 4.1.2, caught by review + reproduction).
+            acc = F.lit(1)
+            for bound in bounds:
+                acc = acc + F.when(s >= F.lit(float(bound)), 1).otherwise(0)
+            nonnull = acc
     else:
         mn, mx = df.agg(F.min(score_col), F.max(score_col)).first()
         if mn is None or mn == mx:
-            bucket = F.lit(1)
+            nonnull = F.lit(1)
         else:
-            bucket = F.width_bucket(
-                F.col(score_col), F.lit(mn), F.lit(mx), F.lit(n_buckets)
-            )
+            nonnull = F.width_bucket(s, F.lit(mn), F.lit(mx), F.lit(n_buckets))
+    bucket = F.when(s.isNull(), F.lit(0)).otherwise(nonnull)
     b = df.withColumn("__bucket", bucket.cast("int"))
     stats = b.groupBy("__bucket").agg(
         F.count(F.lit(1)).alias("__n"), F.sum(flag_col).alias("__c")

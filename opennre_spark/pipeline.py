@@ -163,15 +163,15 @@ def canonical_triples(triples: DataFrame) -> DataFrame:
     the canonical name keys the final facts-set dedup
     (data_loader.py:156-164 idempotent-insert semantics).
     """
-    from .operators.linking import link_entities, maybe_broadcast
+    from .operators.linking import broadcast_hint_if_small, link_entities
     from .sources.transcripts import entities_df
 
     spark = triples.sparkSession
     ents = entities_df(spark).select("entity_id", "name")
     names = ents.select("name")
     mapping = link_entities(names)  # (name, canonical_name)
-    ent2canon = ents.join(mapping, "name").select(
-        "entity_id", "canonical_name"
+    ent2canon, hint = broadcast_hint_if_small(
+        ents.join(mapping, "name").select("entity_id", "canonical_name")
     )
     m_subj = ent2canon.withColumnRenamed("entity_id", "subj").withColumnRenamed(
         "canonical_name", "subj_canon"
@@ -180,10 +180,11 @@ def canonical_triples(triples: DataFrame) -> DataFrame:
         "canonical_name", "obj_canon"
     )
     # size-gated: the DISCOVERED entity mapping can exceed broadcast
-    # limits at corpus scale; the gate probes before hinting
+    # limits at corpus scale; one probe of the materialized mapping
+    # decides the hint for both join sides
     return (
-        triples.join(maybe_broadcast(m_subj), "subj", "left")
-        .join(maybe_broadcast(m_obj), "obj", "left")
+        triples.join(hint(m_subj), "subj", "left")
+        .join(hint(m_obj), "obj", "left")
         .select(
             F.coalesce("subj_canon", "subj").alias("subj"),
             F.col("pred"),

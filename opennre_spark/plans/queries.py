@@ -609,7 +609,17 @@ def _q_ann_self_join(spark, sf_dir):
     from ..operators.similarity import ann_self_join
 
     _reg(spark, sf_dir, "embeddings")
-    pairs = ann_self_join(spark.table("embeddings"), dim=64, cosine_threshold=0.5)
+    # oracle-gate LSH config: 16 bands of ONE sign bit each — per-pair
+    # miss probability (1-p)^16 ~ 2e-8 even at the 0.5 cosine boundary
+    # (p = 1 - theta/pi = 0.667), so the blocked+verified output equals
+    # the exact brute-force oracle with margin. Single-bit bands halve
+    # the table per band — a TEST-GATE config; the scale-shaped config
+    # (multi-bit bands, tight candidate sets) is exercised by
+    # ann_cosine_pairs at threshold 0.85.
+    pairs = ann_self_join(
+        spark.table("embeddings"), dim=64, cosine_threshold=0.5,
+        num_planes=16, num_bands=16,
+    )
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 

@@ -9,22 +9,34 @@ and detects the negative class by name (data_loader.py:67-74).
 
 from __future__ import annotations
 
+def _load_fixture_json(name: str) -> dict:
+    """Load a repo fixture next to the package — works both from a
+    filesystem checkout (repo/fixtures/<name>) and from a zipimport
+    deployment (spark-submit --py-files dist/opennre_spark.zip, where
+    the package root IS the zip and the fixture is archived inside it —
+    plain open() cannot reach into a zip)."""
+    import json
+    import os
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "fixtures", name)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    if os.path.isfile(root) and zipfile.is_zipfile(root):
+        with zipfile.ZipFile(root) as z, z.open(f"fixtures/{name}") as f:
+            return json.load(f)
+    raise FileNotFoundError(path)
+
+
 # --- relation schema (FIXTURES.md F3: reduced 8-relation NYT-style) ---
 def wiki80_rel2id() -> dict[str, int]:
     """The public Wiki80 label schema: 80 Wikidata property names, NO
     negative class (supervised classification; names listed in
     /root/reference/benchmark/rel4wiki80.md:3-83, checked in as
     fixtures/wiki80_rel2id.json)."""
-    import json
-    import os
-
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "fixtures",
-        "wiki80_rel2id.json",
-    )
-    with open(path) as f:
-        return json.load(f)
+    return _load_fixture_json("wiki80_rel2id.json")
 
 
 def nyt10_rel2id() -> dict[str, int]:
@@ -37,17 +49,7 @@ def nyt10_rel2id() -> dict[str, int]:
     inventory: 52 Freebase predicates + NA at id 0, which is the shape
     every reference eval assumes (positive labels = range(1, N),
     data_loader.py:295-301)."""
-    import json
-    import os
-
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "..",
-        "fixtures",
-        "nyt10_rel2id.json",
-    )
-    with open(path) as f:
-        return json.load(f)
+    return _load_fixture_json("nyt10_rel2id.json")
 
 
 def rel2id_for(schema: str) -> dict[str, int]:

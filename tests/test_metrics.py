@@ -87,6 +87,26 @@ def test_ranked_cumsum_quantile_buckets(spark_dfs):
     assert uni == qua
     assert len(uni) == marked.count()
 
+    # the shape that crashed in review: a plain in-memory DataFrame
+    # (no upstream join), quantile mode — the bucket expression becomes
+    # the broadcast-join key and must still bind (Spark 4.1.2
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND regression guard)
+    spark = pred_df.sparkSession
+    plain = spark.createDataFrame(
+        [(i, float((i * 37) % 100) / 100.0, i % 2) for i in range(500)],
+        "event_id long, score double, is_correct int",
+    )
+    got = ranked_cumsum(plain, tiebreak=("event_id",), buckets="quantile").collect()
+    assert sorted(r["rank"] for r in got) == list(range(1, 501))
+
+    # NULL scores rank last (DESC NULLS LAST semantics), no crash
+    withnull = spark.createDataFrame(
+        [(1, 1.0, 1), (2, None, 0), (3, 0.5, 1)],
+        "event_id long, score double, is_correct int",
+    )
+    rows = {r.event_id: r["rank"] for r in ranked_cumsum(withnull, tiebreak=("event_id",)).collect()}
+    assert rows == {1: 1, 3: 2, 2: 3}
+
 
 def test_bag_eval_parity(spark_dfs, fixture):
     preds, facts = fixture

@@ -25,6 +25,14 @@ def main() -> str:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
+        # data fixtures the package opens relative to its own __file__
+        # (relations.wiki80_rel2id / nyt10_rel2id, checkpoint fixtures):
+        # executors importing from the zip need them INSIDE the zip too
+        fixtures = os.path.join(REPO, "fixtures")
+        for f in sorted(os.listdir(fixtures)):
+            if f.endswith((".json", ".npz")):
+                full = os.path.join(fixtures, f)
+                z.write(full, os.path.relpath(full, REPO))
     print(out)
     return out
 
