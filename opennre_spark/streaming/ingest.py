@@ -97,3 +97,38 @@ def mention_rate(
             "n_turns",
         )
     )
+
+
+def conversation_sessions(
+    transcripts_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time session windows per conversation (SURVEY.md §2.9:
+    sessions are the natural streaming model for conversations — a
+    session closes when no turn arrives for `gap`). Built on Spark's
+    native session_window: state is merged incrementally per key and
+    emitted once the watermark passes the session end, so per-key state
+    stays bounded regardless of stream length.
+
+    Returns one row per closed session: (conv_id, session_start,
+    session_end, n_turns, n_roles, first_turn_idx, last_turn_idx).
+    """
+    return (
+        transcripts_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            # countDistinct is unsupported on streaming aggregations;
+            # an exact set-size via collect_set is (roles are few)
+            F.size(F.collect_set("role")).alias("n_roles"),
+            F.min("turn_idx").alias("first_turn_idx"),
+            F.max("turn_idx").alias("last_turn_idx"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns", "n_roles", "first_turn_idx", "last_turn_idx",
+        )
+    )

@@ -86,6 +86,51 @@ def test_mention_rate_windowed(spark, tmp_path):
         assert want[(r.window_start, r.role)] == r.n_turns
 
 
+def test_conversation_sessions(spark, tmp_path):
+    """Session windows close per conversation after the gap; closed
+    sessions must match the batch session_window aggregation on the
+    same files (the streaming/batch unification contract)."""
+    from opennre_spark.streaming.ingest import conversation_sessions
+
+    inp = str(tmp_path / "in_sess")
+    transcripts_df(spark, 12).coalesce(1).write.mode("append").parquet(inp)
+    stream = read_transcript_stream(spark, inp)
+    q = (
+        conversation_sessions(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from sessions").collect()
+    assert rows, "expected at least one closed session"
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(inp)
+    want = {
+        (r.conv_id, r.session_start): (r.n_turns, r.first_turn_idx, r.last_turn_idx)
+        for r in batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "conv_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn_idx"),
+            F.max("turn_idx").alias("last_turn_idx"),
+        )
+        .select(
+            "conv_id", F.col("w.start").alias("session_start"),
+            "n_turns", "first_turn_idx", "last_turn_idx",
+        )
+        .collect()
+    }
+    for r in rows:
+        assert want[(r.conv_id, r.session_start)] == (
+            r.n_turns, r.first_turn_idx, r.last_turn_idx
+        ), r.conv_id
+
+
 def test_stateful_conversation_tracker(spark, tmp_path):
     """applyInPandasWithState: per-conv state accumulates ACROSS
     micro-batches (two files, overlapping conversations)."""
