@@ -78,16 +78,27 @@ def run(cores: int, n_convs: int, path: str) -> dict:
     raise RuntimeError(f"no RESULT from cores={cores}: {out.stderr[-2000:]}")
 
 
-def measure_pair(n_small: int, n_big: int, n_convs: int) -> dict:
+def measure_pair(n_small: int, n_big: int, n_convs: int, reps: int = 2) -> dict:
+    """Interleave the two levels (lo, hi, lo, hi, ...) and take the
+    min wall per level: the virtualized host's per-core speed drifts on
+    ~minutes timescales (tools/cpu_ceiling.py), so measuring the levels
+    back-to-back in alternation samples both under the same host state
+    instead of biasing whichever level ran in the faster window."""
     path = f"/tmp/spark_graft_transcripts_{n_convs}.parquet"
-    lo = run(n_small, n_convs, path)
-    hi = run(n_big, n_convs, path)
+    lows, highs = [], []
+    for _ in range(reps):
+        lows.append(run(n_small, n_convs, path))
+        highs.append(run(n_big, n_convs, path))
+    lo = min(lows, key=lambda r: r["sec"])
+    hi = min(highs, key=lambda r: r["sec"])
     speedup = lo["sec"] / hi["sec"]
     return {
         "pair": f"local[{n_small}] -> local[{n_big}]",
         "n_convs": n_convs,
         "low": lo,
         "high": hi,
+        "all_low_sec": [r["sec"] for r in lows],
+        "all_high_sec": [r["sec"] for r in highs],
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / (n_big / n_small), 3),
     }
