@@ -41,6 +41,7 @@ def extract_triples(
     window_turns: int = config.PAIR_WINDOW_TURNS,
     threshold: float = config.SCORE_THRESHOLD,
     bag_cap: int = 0,
+    bag_size: int = 0,
     pcnn: bool = False,
     dedup_scoring: bool = False,
     schema: str = "reduced",
@@ -52,6 +53,9 @@ def extract_triples(
     mode: 'sentence' (argmax per instance, SoftmaxNN.infer semantics,
     softmax_nn.py:35-39) or 'att'/'avg'/'one' (bag-level distant
     supervision, BagRE.eval_model semantics, bag_re.py:154-181).
+    bag_size > 0 switches bag modes to the reference's fixed-size
+    resize path (A2, data_loader.py:185-190 — see bags.resize_bag);
+    bag_cap is the bag_size=0 deterministic skew guard.
 
     Triples carry score + support lineage; uniqueness on (subj, pred,
     obj) mirrors the facts-dict idempotent insert
@@ -136,8 +140,8 @@ def extract_triples(
         with_scores=(mode == "one"),
     )
     bags = bag_scores(
-        scored, method=mode, bag_cap=bag_cap, encoder=encoder, schema=schema,
-        ckpt=ckpt,
+        scored, method=mode, bag_cap=bag_cap, bag_size=bag_size,
+        encoder=encoder, schema=schema, ckpt=ckpt,
     )
     per_rel = explode_bag_scores(bags, id2rel)
     return (

@@ -514,7 +514,12 @@ def _make_sql_query(name: str):
 
 # --- non-SQL-expressible entries: the KG pipeline itself ----------------
 
-def _kg_query(mode: str, schema: str = "reduced", threshold: float | None = None):
+def _kg_query(
+    mode: str,
+    schema: str = "reduced",
+    threshold: float | None = None,
+    bag_size: int = 0,
+):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..pipeline import extract_triples
         from ..sources.transcripts import transcripts_df
@@ -526,7 +531,9 @@ def _kg_query(mode: str, schema: str = "reduced", threshold: float | None = None
         thr = threshold
         if thr is None:
             thr = 0.15 if mode != "sentence" else 0.5
-        return extract_triples(t, mode=mode, threshold=thr, schema=schema)
+        return extract_triples(
+            t, mode=mode, threshold=thr, schema=schema, bag_size=bag_size
+        )
 
     run.__name__ = f"q_kg_{mode}_{schema}"
     return run
@@ -1015,6 +1022,9 @@ def queries() -> dict:
     out["kg_triples_sentence"] = _kg_query("sentence")
     out["kg_triples_bag_att"] = _kg_query("att")
     out["kg_triples_bag_one"] = _kg_query("one")
+    # A2 fixed-size path through the whole pipeline (seeded resize:
+    # sample-down / pad-with-replacement, data_loader.py:185-190)
+    out["kg_triples_bag_fixedsize"] = _kg_query("one", bag_size=4)
     out["kg_triples_wiki80"] = _kg_query("sentence", schema="wiki80")
     # NYT10 53-relation schema end-to-end: softmax mass spreads over 53
     # classes, so the bag emission threshold drops accordingly
