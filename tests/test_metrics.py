@@ -108,6 +108,43 @@ def test_ranked_cumsum_quantile_buckets(spark_dfs):
     assert rows == {1: 1, 3: 2, 2: 3}
 
 
+def test_ranked_cumsum_property(spark):
+    """Property check of the distributed prefix sum against a plain
+    python sort: heavy ties, negative scores, constant scores, skewed
+    clusters — every distribution must produce the exact global rank
+    and running sum in both bucket modes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from opennre_spark.operators.metrics import ranked_cumsum
+
+    rng = random.Random(23)
+    cases = []
+    # heavy ties on few distinct values
+    cases.append([(i, float(rng.choice([0.1, 0.5, 0.9])), rng.randint(0, 1)) for i in range(300)])
+    # negative + positive, wide range
+    cases.append([(i, rng.uniform(-50.0, 50.0), rng.randint(0, 1)) for i in range(300)])
+    # all-equal scores (single bucket, pure tiebreak ordering)
+    cases.append([(i, 0.25, i % 3 == 0) for i in range(100)])
+    # exponential skew (most mass in one bucket)
+    cases.append([(i, rng.expovariate(5.0), rng.randint(0, 1)) for i in range(400)])
+    for data in cases:
+        data = [(i, s, int(f)) for i, s, f in data]
+        df = spark.createDataFrame(data, "event_id long, score double, is_correct int")
+        expect = {}
+        cum = 0
+        for rank, (i, s, f) in enumerate(
+            sorted(data, key=lambda r: (-r[1], r[0])), start=1
+        ):
+            cum += f
+            expect[i] = (rank, cum)
+        for mode in ("uniform", "quantile"):
+            got = {
+                r.event_id: (r["rank"], r.cum_correct)
+                for r in ranked_cumsum(df, tiebreak=("event_id",), buckets=mode).collect()
+            }
+            assert got == expect, mode
+
+
 def test_bag_eval_parity(spark_dfs, fixture):
     preds, facts = fixture
     got = bag_eval(*spark_dfs, rel_count=len(relations.REL2ID))
