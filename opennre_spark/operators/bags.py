@@ -167,6 +167,63 @@ def bag_one_native(scored: DataFrame) -> DataFrame:
     )
 
 
+def bag_average_native(
+    scored: DataFrame,
+    schema: str = "reduced",
+    encoder: str = "cnn",
+    ckpt: str | None = None,
+) -> DataFrame:
+    """`avg` aggregator with a NATIVE two-phase mean (A5): per-dimension
+    `avg(rep[i])` aggregates decompose into map-side partials exactly
+    like `one`'s max — no Python function runs per group, no rep vector
+    rides the shuffle unaggregated. The tiny fc+softmax epilogue is one
+    Arrow pass over (n_bags, H) rows.
+
+    Numeric delta vs bag_average_eval (documented): Spark's avg
+    accumulates in double and rounds to float32 once, where the
+    reference means in float32 (bag_average.py:124) — agreement is
+    ~1e-7, inside the golden tolerance. Bag size caps/resizes are NOT
+    applied here (this is the bag_size=0 all-sentences eval path).
+    Returns (h_id, t_id, n_sentences, scores).
+    """
+    import numpy as _np
+
+    n_dim = len(scored.select("rep").first()[0])
+    means = scored.groupBy("h_id", "t_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sentences"),
+        F.array(
+            *[F.avg(F.col("rep")[i]).cast("float") for i in range(n_dim)]
+        ).alias("bag_rep"),
+    )
+
+    def classify(batches):
+        from ..functions import kernels
+
+        if encoder in ("bert", "bert_entity"):
+            from ..functions.bert_kernels import default_bert_model
+
+            _, weights = default_bert_model(
+                entity=(encoder == "bert_entity"), schema=schema
+            )
+        else:
+            from ..functions.weights import default_model
+
+            _, weights = default_model(
+                pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
+            )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rep = _np.asarray(pdf["bag_rep"].tolist(), dtype=_np.float32)
+            logits = kernels.linear(rep, weights["fc_w"], weights["fc_b"])
+            probs = kernels.softmax(logits, axis=-1).astype(_np.float32)
+            out = pdf[["h_id", "t_id", "n_sentences"]].copy()
+            out["scores"] = list(probs)
+            yield out
+
+    return means.mapInPandas(classify, schema=BAG_SCHEMA)
+
+
 def explode_bag_scores(bags: DataFrame, id2rel: dict[int, str]) -> DataFrame:
     """Bag score vectors -> (h_id, t_id, relation, score) rows for every
     non-NA relation — the reference's prediction-record emission

@@ -167,6 +167,32 @@ def test_bag_size_resize_parity(spark, transcripts):
     scored.unpersist()
 
 
+def test_bag_average_native_equivalence(spark, transcripts):
+    """A5 native two-phase mean == applyInPandas bag average to the
+    parity tolerance (Spark avg accumulates in double vs the kernel's
+    float32 mean — documented ~1e-7 delta, inside the 1e-6-per-step
+    golden budget)."""
+    from opennre_spark.operators.bags import bag_average_native
+
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions)
+    scored = score_instances(instances, with_rep=True).cache()
+    via_pandas = {
+        (r.h_id, r.t_id): (r.n_sentences, r.scores)
+        for r in bag_scores(scored, method="avg").collect()
+    }
+    via_native = {
+        (r.h_id, r.t_id): (r.n_sentences, r.scores)
+        for r in bag_average_native(scored).collect()
+    }
+    assert via_pandas.keys() == via_native.keys()
+    for k, (n, s) in via_pandas.items():
+        n2, s2 = via_native[k]
+        assert n == n2, k
+        assert max(abs(a - b) for a, b in zip(s, s2)) < 1e-5, k
+    scored.unpersist()
+
+
 def test_pcnn_pipeline_parity(spark, transcripts):
     """PCNN end-to-end: Spark triples == oracle decisions (M3/T14)."""
     from opennre_spark.functions.weights import build_vocab, make_weights
