@@ -139,11 +139,35 @@ def extract_triples(
         with_rep=(mode != "one"),
         with_scores=(mode == "one"),
     )
-    bags = bag_scores(
-        scored, method=mode, bag_cap=bag_cap, bag_size=bag_size,
-        encoder=encoder, schema=schema, ckpt=ckpt,
-    )
-    per_rel = explode_bag_scores(bags, id2rel)
+    if mode == "one" and bag_cap == 0 and bag_size == 0:
+        # fully native path (A6): per-relation max AND the bag size in
+        # ONE partial-aggregated pass — max/count are associative, so
+        # Catalyst plans map-side combine before the entpair shuffle and
+        # no Python runs in the aggregation at all. Exactly equal to the
+        # applyInPandas variant (max is max); that variant remains for
+        # the cap/resize semantics, which need whole-bag member lists.
+        rels = spark.createDataFrame(
+            [(i, r) for i, r in sorted(id2rel.items())],
+            "rel_id int, relation string",
+        )
+        per_rel_rows = scored.select(
+            "h_id", "t_id", F.posexplode("scores").alias("rel_id", "score")
+        )
+        agged = per_rel_rows.groupBy("h_id", "t_id", "rel_id").agg(
+            F.max("score").alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_sentences"),
+        )
+        per_rel = (
+            agged.join(F.broadcast(rels), "rel_id")
+            .filter(F.col("relation") != "NA")
+            .select("h_id", "t_id", "relation", "score", "n_sentences")
+        )
+    else:
+        bags = bag_scores(
+            scored, method=mode, bag_cap=bag_cap, bag_size=bag_size,
+            encoder=encoder, schema=schema, ckpt=ckpt,
+        )
+        per_rel = explode_bag_scores(bags, id2rel)
     return (
         per_rel.filter(F.col("score") >= F.lit(threshold))
         .select(

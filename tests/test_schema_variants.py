@@ -167,6 +167,25 @@ def test_bag_size_resize_parity(spark, transcripts):
     scored.unpersist()
 
 
+def test_bag_one_native_pipeline_equivalence(spark, transcripts):
+    """extract_triples(mode='one') now defaults to the fully native
+    max/count aggregation; it must equal the applyInPandas route exactly
+    (forced via an inert bag_cap larger than any bag — per-relation max
+    is max either way)."""
+    native = {
+        (r.subj, r.pred, r.obj): (r.score, r.n_support)
+        for r in extract_triples(transcripts, mode="one", threshold=0.15).collect()
+    }
+    pandas_route = {
+        (r.subj, r.pred, r.obj): (r.score, r.n_support)
+        for r in extract_triples(
+            transcripts, mode="one", threshold=0.15, bag_cap=10**6
+        ).collect()
+    }
+    assert native == pandas_route
+    assert native
+
+
 def test_bag_average_native_equivalence(spark, transcripts):
     """A5 native two-phase mean == applyInPandas bag average to the
     parity tolerance (Spark avg accumulates in double vs the kernel's
