@@ -153,6 +153,99 @@ def bag_scores(
     return slim.groupBy("h_id", "t_id").applyInPandas(agg, schema=BAG_SCHEMA)
 
 
+def bag_scores_batched(
+    scored: DataFrame,
+    method: str = "att",
+    bag_cap: int = 0,
+    bag_size: int = 0,
+    bag_seed: int = 42,
+    encoder: str = "cnn",
+    schema: str = "reduced",
+    ckpt: str | None = None,
+) -> DataFrame:
+    """bag_scores with JVM-side bag assembly: groupBy + collect_list
+    builds each bag's member list in the aggregation (associative —
+    map-side partial collection), then ONE mapInPandas pass runs the
+    bag kernel over hundreds of bags per Arrow batch.
+
+    applyInPandas invokes Python once per GROUP; at sf0.1 that is ~15k
+    pandas-function calls whose fixed overhead rivals the attention math
+    itself. Here the per-bag Python cost is one loop iteration. Members
+    are sorted inside the kernel by the same stable key (collect_list
+    order is nondeterministic), so outputs are IDENTICAL to bag_scores
+    (same sorted float32 matrix -> same kernel ops, bitwise).
+
+    Memory note: a bag's members materialize in one aggregation buffer
+    either way; the deterministic cap/resize still bounds the skew tail.
+    """
+    if method not in ("att", "avg", "one"):
+        raise ValueError(f"unknown bag method {method!r}")
+    needs_rep = method in ("att", "avg")
+    value_col = "rep" if needs_rep else "scores"
+    sort_cols = [c for c in _SORT_COLS if c in scored.columns]
+    member = F.struct(*sort_cols, F.col(value_col).alias("__v"))
+    grouped = scored.groupBy("h_id", "t_id").agg(
+        F.collect_list(member).alias("__members")
+    )
+
+    def run(batches):
+        if method != "one":
+            if encoder in ("bert", "bert_entity"):
+                from ..functions.bert_kernels import default_bert_model
+
+                _, weights = default_bert_model(
+                    entity=(encoder == "bert_entity"), schema=schema
+                )
+                if "att_diag" not in weights:
+                    weights = dict(weights)
+                    weights["att_diag"] = np.ones(
+                        weights["fc_w"].shape[1], np.float32
+                    )
+            else:
+                from ..functions.weights import default_model
+
+                _, weights = default_model(
+                    pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
+                )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_h, out_t, out_n, out_s = [], [], [], []
+            for h, t, members in zip(
+                pdf["h_id"], pdf["t_id"], pdf["__members"]
+            ):
+                members = sorted(
+                    members, key=lambda m: tuple(m[c] for c in sort_cols)
+                )
+                sub = pd.DataFrame({"__v": [m["__v"] for m in members]})
+                if bag_size > 0:
+                    sub["h_id"] = h  # resize_bag only reads the key args
+                    sub = resize_bag(sub, bag_size, h, t, bag_seed)
+                elif bag_cap > 0 and len(sub) > bag_cap:
+                    sub = sub.iloc[:bag_cap]
+                mat = np.asarray(sub["__v"].tolist(), dtype=np.float32)
+                if method == "one":
+                    out = kernels.bag_one_eval(mat)
+                elif method == "att":
+                    out = kernels.bag_attention_eval(mat, weights)
+                else:
+                    out = kernels.bag_average_eval(mat, weights)
+                out_h.append(h)
+                out_t.append(t)
+                out_n.append(len(sub))
+                out_s.append(out.astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "h_id": out_h,
+                    "t_id": out_t,
+                    "n_sentences": np.asarray(out_n, dtype=np.int32),
+                    "scores": out_s,
+                }
+            )
+
+    return grouped.mapInPandas(run, schema=BAG_SCHEMA)
+
+
 def bag_one_native(scored: DataFrame) -> DataFrame:
     """`one` aggregator as native Spark (A6): posexplode the per-sentence
     softmax scores and take per-relation max. Fully associative ->

@@ -167,6 +167,34 @@ def test_bag_size_resize_parity(spark, transcripts):
     scored.unpersist()
 
 
+def test_bag_scores_batched_identical(spark, transcripts):
+    """The collect_list-batched bag aggregation must be BITWISE equal to
+    the per-group applyInPandas route for every method and for the
+    cap/resize variants (same stable sort, same kernel inputs)."""
+    from opennre_spark.operators.bags import bag_scores_batched
+
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions)
+    scored = score_instances(instances, with_rep=True, with_scores=True).cache()
+    for kw in (
+        {"method": "att"},
+        {"method": "avg"},
+        {"method": "one"},
+        {"method": "one", "bag_cap": 3},
+        {"method": "att", "bag_size": 4},
+    ):
+        a = {
+            (r.h_id, r.t_id): (r.n_sentences, tuple(r.scores))
+            for r in bag_scores(scored, **kw).collect()
+        }
+        b = {
+            (r.h_id, r.t_id): (r.n_sentences, tuple(r.scores))
+            for r in bag_scores_batched(scored, **kw).collect()
+        }
+        assert a == b, kw
+    scored.unpersist()
+
+
 def test_bag_one_native_pipeline_equivalence(spark, transcripts):
     """extract_triples(mode='one') now defaults to the fully native
     max/count aggregation; it must equal the applyInPandas route exactly
