@@ -106,7 +106,46 @@ _STATE_DICT_MAP = {
 }
 
 
-def load_state_dict_npz(path: str) -> dict[str, np.ndarray]:
+def _align_fc_to_rel2id(
+    w: dict[str, np.ndarray], raw: dict, rel2id: dict[str, int] | None, path: str
+) -> None:
+    """Reorder classifier rows to the engine's relation-id order when the
+    checkpoint carries its own rel2id (exported by tools/export_ckpt.py
+    as `__rel2id__`).
+
+    The reference distributes rel2id.json per benchmark with an arbitrary
+    id order (e.g. the downloaded nyt10_rel2id.json); our fixtures
+    reconstruct the label SET but cannot know that order. Matching only
+    the relation COUNT would silently permute fc_w rows across labels —
+    every prediction mislabeled with no error (ADVICE r2). With the
+    ckpt's rel2id present we permute fc rows into the engine order; a
+    label-set mismatch fails fast."""
+    if "__rel2id__" not in raw:
+        return
+    import json
+
+    ckpt_rel2id = json.loads(str(raw["__rel2id__"]))
+    if rel2id is None:
+        return
+    if set(ckpt_rel2id) != set(rel2id):
+        missing = sorted(set(rel2id) - set(ckpt_rel2id))[:3]
+        extra = sorted(set(ckpt_rel2id) - set(rel2id))[:3]
+        raise ValueError(
+            f"checkpoint {path!r} rel2id label set does not match the "
+            f"engine schema (missing {missing}, extra {extra})"
+        )
+    perm = [
+        ckpt_rel2id[name]
+        for name, _ in sorted(rel2id.items(), key=lambda kv: kv[1])
+    ]
+    if perm != list(range(len(perm))):
+        w["fc_w"] = w["fc_w"][perm]
+        w["fc_b"] = w["fc_b"][perm]
+
+
+def load_state_dict_npz(
+    path: str, rel2id: dict[str, int] | None = None
+) -> dict[str, np.ndarray]:
     """S4 checkpoint source: load a reference checkpoint exported to
     .npz (tools/export_ckpt.py converts `torch.load(ckpt)['state_dict']`
     — pretrain.py:147 — on a torch-equipped machine; this sandbox has no
@@ -117,6 +156,11 @@ def load_state_dict_npz(path: str) -> dict[str, np.ndarray]:
     shapes the same way the reference constructors size their modules
     (base_encoder.py:68: pos tables have 2*max_length rows; a PCNN rep
     is 3*hidden wide).
+
+    rel2id: the engine schema's relation->id map. If the export carries
+    the benchmark's own rel2id (`__rel2id__`), classifier rows are
+    permuted into this order (or the load fails fast on a label-set
+    mismatch) — see _align_fc_to_rel2id.
     """
     raw = dict(np.load(path))
     w: dict[str, np.ndarray] = {}
@@ -135,10 +179,10 @@ def load_state_dict_npz(path: str) -> dict[str, np.ndarray]:
     )
     w["max_length"] = np.int64(w["pos1_emb"].shape[0] // 2)
     w["pcnn"] = np.bool_(w["fc_w"].shape[1] == 3 * hidden)
+    _align_fc_to_rel2id(w, raw, rel2id, path)
     return w
 
 
-@lru_cache(maxsize=8)
 def default_model(pcnn: bool = False, schema: str = "reduced", ckpt: str | None = None):
     """(vocab, weights) for a named schema — cached so every
     executor/test builds it exactly once per process.
@@ -151,13 +195,30 @@ def default_model(pcnn: bool = False, schema: str = "reduced", ckpt: str | None 
     ckpt: optional path to an exported .npz state dict (S4) — the
     drop-in route for real reference weights; seed-frozen generation
     stays the fallback. Shape mismatches against the schema fail fast.
+    The cache key includes the ckpt file's (mtime, size): swapping the
+    .npz under a long-lived driver/executor reloads instead of serving
+    stale weights (ADVICE r2). os.stat per call is ~1us — invisible next
+    to one Arrow batch.
     """
+    stamp = None
+    if ckpt is not None:
+        import os
+
+        st = os.stat(ckpt)
+        stamp = (st.st_mtime_ns, st.st_size)
+    return _default_model_cached(pcnn, schema, ckpt, stamp)
+
+
+@lru_cache(maxsize=8)
+def _default_model_cached(
+    pcnn: bool, schema: str, ckpt: str | None, _stamp: tuple | None
+):
     from .. import relations
 
     vocab = build_vocab(relations.vocabulary_words())
     rel2id = relations.rel2id_for(schema)
     if ckpt is not None:
-        weights = load_state_dict_npz(ckpt)
+        weights = load_state_dict_npz(ckpt, rel2id=rel2id)
         if weights["fc_w"].shape[0] != len(rel2id):
             raise ValueError(
                 f"checkpoint has {weights['fc_w'].shape[0]} relations, "

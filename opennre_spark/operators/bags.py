@@ -175,14 +175,32 @@ def bag_scores_batched(
     order is nondeterministic), so outputs are IDENTICAL to bag_scores
     (same sorted float32 matrix -> same kernel ops, bitwise).
 
-    Memory note: a bag's members materialize in one aggregation buffer
-    either way; the deterministic cap/resize still bounds the skew tail.
+    Memory note (bag_cap > 0): the deterministic cap is enforced BEFORE
+    the collect_list — a row_number window over the stable member order,
+    filtered <= cap — so the aggregation buffer holds at most bag_cap
+    members even for a pathological hot entity pair (millions of
+    co-mentions would otherwise materialize in ONE buffer before the
+    in-kernel cap could act). WindowExec sorts with a spill-safe external
+    sorter, and its (h_id, t_id) hash partitioning is reused by the
+    groupBy — no extra exchange. The bag_size resize path keeps whole-bag
+    assembly: pad-with-replacement genuinely needs every member.
     """
     if method not in ("att", "avg", "one"):
         raise ValueError(f"unknown bag method {method!r}")
     needs_rep = method in ("att", "avg")
     value_col = "rep" if needs_rep else "scores"
     sort_cols = [c for c in _SORT_COLS if c in scored.columns]
+    if bag_cap > 0 and bag_size == 0 and sort_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("h_id", "t_id").orderBy(
+            *[F.col(c) for c in sort_cols]
+        )
+        scored = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.lit(bag_cap))
+            .drop("__rn")
+        )
     member = F.struct(*sort_cols, F.col(value_col).alias("__v"))
     grouped = scored.groupBy("h_id", "t_id").agg(
         F.collect_list(member).alias("__members")
@@ -219,7 +237,6 @@ def bag_scores_batched(
                 )
                 sub = pd.DataFrame({"__v": [m["__v"] for m in members]})
                 if bag_size > 0:
-                    sub["h_id"] = h  # resize_bag only reads the key args
                     sub = resize_bag(sub, bag_size, h, t, bag_seed)
                 elif bag_cap > 0 and len(sub) > bag_cap:
                     sub = sub.iloc[:bag_cap]
@@ -281,7 +298,19 @@ def bag_average_native(
     """
     import numpy as _np
 
-    n_dim = len(scored.select("rep").first()[0])
+    # rep dimension from the weight config — probing the data
+    # (`scored.select("rep").first()`) would execute one partition of the
+    # expensive upstream scoring lineage just to measure H, and crash on
+    # an empty input (ADVICE r2)
+    if encoder in ("bert", "bert_entity"):
+        from ..functions.bert_kernels import default_bert_model
+
+        _, _w = default_bert_model(entity=(encoder == "bert_entity"), schema=schema)
+    else:
+        from ..functions.weights import default_model
+
+        _, _w = default_model(pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt)
+    n_dim = int(_w["fc_w"].shape[1])
     means = scored.groupBy("h_id", "t_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_sentences"),
         F.array(

@@ -56,9 +56,14 @@ def minhash_signatures(
     num_bands: int = 5,
     seed: int = 101,
 ) -> DataFrame:
-    """(doc_id, shingles, band, band_hash) — banded MinHash over token
-    n-gram shingles; same affine family as entity linking
+    """(doc_id, band, band_hash) — banded MinHash over token n-gram
+    shingles; same affine family as entity linking
     (linking.shingle_minhash), document granularity.
+
+    Deliberately SLIM: the shingle arrays are consumed here to compute
+    the signature and then dropped, so the band-explode exchange carries
+    (id, band, hash) rows only. Verification payload joins back by id —
+    see minhash_dup_pairs.
     """
     import random
 
@@ -78,7 +83,7 @@ def minhash_signatures(
         F.array_min(F.transform("__hv", _affine(a, b))).alias(f"__m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    df = df.select(id_col, "__sh", *sig)
+    df = df.select(id_col, *sig)
     bands = F.array(
         *[
             F.struct(
@@ -90,8 +95,8 @@ def minhash_signatures(
             for bi in range(num_bands)
         ]
     )
-    return df.select(id_col, "__sh", F.explode(bands).alias("b")).select(
-        id_col, "__sh", "b.band", "b.band_hash"
+    return df.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, "b.band", "b.band_hash"
     )
 
 
@@ -100,11 +105,20 @@ def minhash_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.7,
+    shingle_n: int = 3,
     **kwargs,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard): LSH blocking then
-    exact n-gram Jaccard verification on candidates only."""
-    sigs = minhash_signatures(docs, id_col, text_col, **kwargs)
+    exact n-gram Jaccard verification on candidates only.
+
+    Exchange discipline (the 100 TB shape, VERDICT r2 #1 fix): the
+    band self-join moves ONLY (id, band, band_hash) — a document's
+    shingle set would otherwise be replicated num_bands x 2 times into
+    the join shuffle. Candidates dedup to distinct ID pairs first; each
+    side then joins back to one slim (id -> shingles) projection, so
+    the payload crosses an exchange once per side, once total per doc.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, shingle_n=shingle_n, **kwargs)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -116,10 +130,18 @@ def minhash_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_tbl = docs.select(
+        F.col(id_col), _token_shingles(text_col, shingle_n).alias("__sh")
+    )
+    cand = cand.join(
+        sh_tbl.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh_tbl.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
+        "id_b",
     )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b"))

