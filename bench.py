@@ -8,6 +8,15 @@ Headline set:
   - a representative slice of the SQL operator battery on the
     driver-provided tables.
 
+Methodology (VERDICT r2 #3): the whole headline sequence is repeated
+$SPARK_GRAFT_BENCH_REPS times (default 3) in INTERLEAVED rounds and each
+query reports its MIN across rounds — the same protocol
+tools/bench_scaling.py uses. A single cold pass conflates JIT/page-cache
+warmup and background-box noise (observed ~30% swings) with real
+regressions; min-of-interleaved-rounds is the stable estimator of the
+achievable time. Round-by-round walls are emitted under `rounds` so a
+noisy box is visible in the artifact instead of silently biasing it.
+
 Extra keys beyond the driver contract: turns, triples, triples_per_sec
 (the north-rule throughput unit).
 """
@@ -33,10 +42,23 @@ def sf_from_dir(sf_dir: str) -> float:
 # conversations per SF: ~9.6 turns/conv avg -> sf0.1 ≈ 38k turns
 N_CONVS = {0.001: 100, 0.01: 800, 0.1: 4000}
 
+PLAN_QUERIES = (
+    "q1_pricing_summary",
+    "w2_pr_curve",
+    "w3_auc",
+    "j3_window_self_join",
+    "a6_bag_max",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "text_quality_score",
+    "embedding_centroid",
+)
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = sf_from_dir(sf_dir)
     n_convs = N_CONVS.get(sf, max(100, int(sf * 40000)))
 
@@ -48,7 +70,6 @@ def main():
     spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
     # warm the JVM + Python workers once (excluded from timings)
@@ -76,39 +97,47 @@ def main():
     n_turns = transcripts.count()
     extras["turns"] = n_turns
 
-    t0 = time.time()
-    n_triples = extract_triples(transcripts, mode="sentence").count()
-    dt = time.time() - t0
-    timings["kg_sentence"] = round(dt, 3)
-    extras["triples"] = n_triples
-    extras["turns_per_sec"] = round(n_turns / dt, 1)
-    extras["triples_per_sec"] = round(n_triples / dt, 1)
-
-    t0 = time.time()
-    extract_triples(transcripts, mode="one", threshold=0.15).count()
-    timings["kg_bag_one"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    extract_triples(transcripts, mode="att", threshold=0.15).count()
-    timings["kg_bag_att"] = round(time.time() - t0, 3)
-
     qs = plans.queries()
-    for name in (
-        "q1_pricing_summary",
-        "w2_pr_curve",
-        "w3_auc",
-        "j3_window_self_join",
-        "a6_bag_max",
-        "ann_cosine_topk",
-        "dedup_exact",
-        "text_quality_score",
-        "embedding_centroid",
-    ):
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    best: dict[str, float] = {}
+    rounds: list[float] = []
+    n_triples = 0
 
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        if name not in best or dt < best[name]:
+            best[name] = dt
+        return out, dt
+
+    for _ in range(reps):
+        round_t0 = time.time()
+        n_triples, _ = timed(
+            "kg_sentence",
+            lambda: extract_triples(transcripts, mode="sentence").count(),
+        )
+        timed(
+            "kg_bag_one",
+            lambda: extract_triples(transcripts, mode="one", threshold=0.15).count(),
+        )
+        timed(
+            "kg_bag_att",
+            lambda: extract_triples(transcripts, mode="att", threshold=0.15).count(),
+        )
+        for name in PLAN_QUERIES:
+            timed(
+                name,
+                lambda name=name: qs[name](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+        rounds.append(round(time.time() - round_t0, 3))
+
+    timings = {k: round(v, 3) for k, v in best.items()}
+    extras["triples"] = n_triples
+    extras["turns_per_sec"] = round(n_turns / best["kg_sentence"], 1)
+    extras["triples_per_sec"] = round(n_triples / best["kg_sentence"], 1)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -119,6 +148,8 @@ def main():
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "reps": reps,
+                "rounds": rounds,
                 **extras,
             }
         )

@@ -173,17 +173,152 @@ def bert_entity_rep(token, att_mask, pos1, pos2, W) -> np.ndarray:
     return (x @ W["ent_w"].T + W["ent_b"]).astype(np.float32)
 
 
-@lru_cache(maxsize=4)
-def default_bert_model(entity: bool = False, schema: str = "reduced"):
+# HF-transformers BertModel state-dict key -> our weight key, embedding/
+# pooler level (the reference wraps BertModel as sentence_encoder.bert,
+# bert_encoder.py:20,119, and torch saves nested module params under
+# dotted paths). HF nn.Linear stores weight as (out, in); our forward
+# multiplies x @ W, i.e. (in, out) — entries marked transpose=True.
+_BERT_FIXED_MAP = {
+    # key suffix under sentence_encoder.bert. -> (ours, transpose)
+    "embeddings.word_embeddings.weight": ("word_emb", False),
+    "embeddings.position_embeddings.weight": ("pos_emb", False),
+    "embeddings.token_type_embeddings.weight": ("type_emb", False),
+    "embeddings.LayerNorm.weight": ("emb_ln_g", False),
+    "embeddings.LayerNorm.bias": ("emb_ln_b", False),
+    "pooler.dense.weight": ("pool_w", True),
+    "pooler.dense.bias": ("pool_b", False),
+}
+
+# per-layer suffixes under sentence_encoder.bert.encoder.layer.{i}.
+_BERT_LAYER_MAP = {
+    "attention.self.query.weight": ("q_w", True),
+    "attention.self.query.bias": ("q_b", False),
+    "attention.self.key.weight": ("k_w", True),
+    "attention.self.key.bias": ("k_b", False),
+    "attention.self.value.weight": ("v_w", True),
+    "attention.self.value.bias": ("v_b", False),
+    "attention.output.dense.weight": ("o_w", True),
+    "attention.output.dense.bias": ("o_b", False),
+    "attention.output.LayerNorm.weight": ("att_ln_g", False),
+    "attention.output.LayerNorm.bias": ("att_ln_b", False),
+    "intermediate.dense.weight": ("i_w", True),
+    "intermediate.dense.bias": ("i_b", False),
+    "output.dense.weight": ("f_w", True),
+    "output.dense.bias": ("f_b", False),
+    "output.LayerNorm.weight": ("ffn_ln_g", False),
+    "output.LayerNorm.bias": ("ffn_ln_b", False),
+}
+
+
+def load_bert_state_dict_npz(
+    path: str, rel2id: dict | None = None, entity: bool = False
+) -> dict:
+    """S4 checkpoint source, BERT rendition: load an exported .npz of a
+    reference softmax BERT model's state dict (tools/export_ckpt.py) into
+    our kernel's weight-dict layout.
+
+    Key mapping follows the reference module tree: sentence_encoder.bert
+    (HF BertModel, bert_encoder.py:20,119), fc (softmax_nn.py:20), and —
+    for BERTEntityEncoder — sentence_encoder.linear (bert_encoder.py:121,
+    consumed as x @ W.T so the HF (out, in) layout stays untransposed).
+    Config is shape-derived: hidden from the word embedding, layers by
+    counting encoder.layer indices; heads are not recoverable from
+    shapes, so an explicit `__heads__` entry wins, else the HF
+    convention heads = hidden // 64 (bert-base: 768 // 64 = 12).
+
+    rel2id: engine schema map — if the export embeds `__rel2id__`,
+    classifier rows are aligned exactly like the CNN loader
+    (weights._align_fc_to_rel2id).
+    """
+    raw = dict(np.load(path))
+    pfx = "sentence_encoder.bert."
+    w: dict = {}
+
+    def take(key: str, ours: str, transpose: bool):
+        if key not in raw:
+            raise KeyError(f"BERT checkpoint missing {key!r}")
+        a = np.asarray(raw[key], dtype=np.float32)
+        w[ours] = np.ascontiguousarray(a.T) if transpose else a
+
+    for suffix, (ours, tr) in _BERT_FIXED_MAP.items():
+        take(pfx + suffix, ours, tr)
+    layers = sorted(
+        {
+            int(k[len(pfx) + len("encoder.layer.") :].split(".")[0])
+            for k in raw
+            if k.startswith(pfx + "encoder.layer.")
+        }
+    )
+    if layers != list(range(len(layers))):
+        raise ValueError(f"non-contiguous encoder layers in {path!r}: {layers}")
+    for i in layers:
+        for suffix, (ours, tr) in _BERT_LAYER_MAP.items():
+            take(f"{pfx}encoder.layer.{i}.{suffix}", f"l{i}_{ours}", tr)
+    take("fc.weight", "fc_w", False)
+    take("fc.bias", "fc_b", False)
+    if entity:
+        take("sentence_encoder.linear.weight", "ent_w", False)
+        take("sentence_encoder.linear.bias", "ent_b", False)
+    hidden = w["word_emb"].shape[1]
+    w["hidden"] = np.int64(hidden)
+    w["layers"] = np.int64(len(layers))
+    heads = int(raw["__heads__"]) if "__heads__" in raw else hidden // 64
+    if heads <= 0 or hidden % heads != 0:
+        raise ValueError(f"invalid head count {heads} for hidden size {hidden}")
+    w["heads"] = np.int64(heads)
+    from .weights import _align_fc_to_rel2id
+
+    _align_fc_to_rel2id(w, raw, rel2id, path)
+    return w
+
+
+def default_bert_model(
+    entity: bool = False, schema: str = "reduced", ckpt: str | None = None
+):
     """(vocab, weights) for the BERT path — deterministic, per-process.
     The classifier fc + (for the entity encoder) the 2H->2H linear are
     included in the weight dict (softmax_nn.py:20; bert_encoder.py:121).
+
+    ckpt: optional exported .npz BERT state dict (S4) — mirrors
+    weights.default_model's route, incl. the (mtime, size) cache stamp
+    so a swapped file reloads.
     """
+    stamp = None
+    if ckpt is not None:
+        import os
+
+        st = os.stat(ckpt)
+        stamp = (st.st_mtime_ns, st.st_size)
+    return _default_bert_model_cached(entity, schema, ckpt, stamp)
+
+
+@lru_cache(maxsize=4)
+def _default_bert_model_cached(
+    entity: bool, schema: str, ckpt: str | None, _stamp: tuple | None
+):
     from .. import relations
     from .bert_tokenization import build_wordpiece_vocab
 
     vocab = build_wordpiece_vocab()
     rel2id = relations.rel2id_for(schema)
+    if ckpt is not None:
+        W = load_bert_state_dict_npz(ckpt, rel2id=rel2id, entity=entity)
+        if W["fc_w"].shape[0] != len(rel2id):
+            raise ValueError(
+                f"checkpoint has {W['fc_w'].shape[0]} relations, "
+                f"schema {schema!r} has {len(rel2id)}"
+            )
+        if W["word_emb"].shape[0] != len(vocab):
+            raise ValueError(
+                f"checkpoint vocab {W['word_emb'].shape[0]} rows, "
+                f"engine wordpiece vocab has {len(vocab)}"
+            )
+        want_rep = 2 * int(W["hidden"]) if entity else int(W["hidden"])
+        if W["fc_w"].shape[1] != want_rep:
+            raise ValueError(
+                "checkpoint encoder kind does not match the entity flag"
+            )
+        return vocab, W
     W = make_bert_weights(vocab_size=len(vocab))
     H = int(W["hidden"])
     rng = np.random.default_rng(4321)

@@ -121,7 +121,7 @@ def bag_scores(
                 from ..functions.bert_kernels import default_bert_model
 
                 _, weights = default_bert_model(
-                    entity=(encoder == "bert_entity"), schema=schema
+                    entity=(encoder == "bert_entity"), schema=schema, ckpt=ckpt
                 )
                 # attention diag: ones (bag_attention.py:29), sized to rep
                 import numpy as _np
@@ -212,7 +212,7 @@ def bag_scores_batched(
                 from ..functions.bert_kernels import default_bert_model
 
                 _, weights = default_bert_model(
-                    entity=(encoder == "bert_entity"), schema=schema
+                    entity=(encoder == "bert_entity"), schema=schema, ckpt=ckpt
                 )
                 if "att_diag" not in weights:
                     weights = dict(weights)
@@ -305,7 +305,9 @@ def bag_average_native(
     if encoder in ("bert", "bert_entity"):
         from ..functions.bert_kernels import default_bert_model
 
-        _, _w = default_bert_model(entity=(encoder == "bert_entity"), schema=schema)
+        _, _w = default_bert_model(
+            entity=(encoder == "bert_entity"), schema=schema, ckpt=ckpt
+        )
     else:
         from ..functions.weights import default_model
 
@@ -325,7 +327,7 @@ def bag_average_native(
             from ..functions.bert_kernels import default_bert_model
 
             _, weights = default_bert_model(
-                entity=(encoder == "bert_entity"), schema=schema
+                entity=(encoder == "bert_entity"), schema=schema, ckpt=ckpt
             )
         else:
             from ..functions.weights import default_model

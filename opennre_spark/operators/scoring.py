@@ -61,8 +61,9 @@ def score_instances(
     bert_encoder.py:106-215). The legacy `pcnn` flag maps to 'pcnn'.
     classifier: 'softmax' (SoftmaxNN, softmax_nn.py:53-54) or 'sigmoid'
     (SigmoidNN multi-label scoring, sigmoid_nn.py:39-40).
-    ckpt: optional exported .npz state dict (S4 checkpoint source,
-    weights.load_state_dict_npz) — CNN/PCNN path only.
+    ckpt: optional exported .npz state dict (S4 checkpoint source) —
+    weights.load_state_dict_npz for CNN/PCNN, bert_kernels.
+    load_bert_state_dict_npz for the BERT encoders.
     """
     if encoder is None:
         encoder = "pcnn" if pcnn else "cnn"
@@ -88,7 +89,7 @@ def score_instances(
             from ..functions.bert_encoding import bert_encode_batch
 
             vocab, weights = bert_kernels.default_bert_model(
-                entity=(encoder == "bert_entity"), schema=schema
+                entity=(encoder == "bert_entity"), schema=schema, ckpt=ckpt
             )
             L = config.BERT_MAX_LENGTH
             rep_fn = (

@@ -37,6 +37,76 @@ def test_connected_components_long_chain(spark):
     assert len(comp) == n + 1
 
 
+def _uf_oracle(edges):
+    """Union-find reference: node -> min member id of its component,
+    over nodes incident to at least one non-self-loop edge (the
+    operator's contract: pure self-loop nodes don't appear)."""
+    nodes = {u for u, v in edges if u != v} | {v for u, v in edges if u != v}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [],                                    # empty graph
+        [(5, 5)],                              # pure self-loop
+        [(0, i) for i in range(1, 12)],        # star
+        [(i, i + 1) for i in range(12)],       # chain
+        # two cliques bridged by nothing + a reversed-order chain
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+        + [(9, 8), (8, 7), (7, 9)],
+    ],
+)
+def test_connected_components_structured_vs_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _uf_oracle(edges)
+
+
+def test_connected_components_property_vs_union_find(spark):
+    """CC underpins three oracle-checked operators (linking, minhash
+    clusters, embedding clusters); property-check the large-star/
+    small-star implementation against union-find on seeded random
+    graphs — mixes of stars, chains, cliques, duplicate and reversed
+    edges, self-loops (VERDICT r2 item 7)."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        n = rng.randrange(2, 30)
+        m = rng.randrange(0, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        # sprinkle structure: a clique and a chain over random nodes
+        clique = rng.sample(range(n), min(4, n))
+        edges += [(a, b) for ai, a in enumerate(clique) for b in clique[ai + 1:]]
+        chain = rng.sample(range(n), min(5, n))
+        edges += list(zip(chain, chain[1:]))
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == _uf_oracle(edges), f"seed {seed}: CC != union-find"
+
+
 def test_candidate_edges_find_variants(spark):
     names = spark.createDataFrame(
         [(n,) for _, n, _ in relations.gazetteer()], "name string"
