@@ -1,0 +1,324 @@
+"""Training-mode forward/backward kernels (SURVEY.md §2 A3 + the train
+loops): vectorized numpy re-expression of the reference's autograd graph
+for the CNN encoder + selective-attention bag model and the sentence
+softmax model.
+
+Reference math being differentiated:
+  - CNNEncoder.forward: embed-concat -> Conv1d(K, pad) -> ReLU ->
+    MaxPool(max_length) -> dropout        cnn_encoder.py:58-65
+  - BagAttention.forward train branch (bag_size=0): query = gold label,
+    att_mat = fc.weight[query] (* diag), per-bag softmax over member
+    scores, weighted-sum bag rep, dropout, fc
+                                          bag_attention.py:100-137
+  - SoftmaxNN.forward: rep -> dropout -> fc  softmax_nn.py:45-50
+  - nn.CrossEntropyLoss (optional per-class weights = the BagRELoader
+    1/freq^0.05 vector, data_loader.py:176-178; weighted mean divides
+    by the sum of selected weights, torch semantics)
+  - optim.SGD(lr, weight_decay): p -= lr * (g + wd * p)
+                                          bag_re.py:68, sentence_re.py:71
+
+Verification strategy (torch is absent in this sandbox, so parity can't
+be checked against autograd directly):
+  1. central finite-difference gradient checks on small float64 configs
+     (tests/test_training.py) — independent of any hand-written oracle;
+  2. the distributed Spark loop (operators/training.py) reproduces a
+     serial per-bag python loop over the same batch schedule to <=1e-5;
+  3. loss decreases / accuracy rises on a separable synthetic corpus.
+
+dtype contract: all math runs in the dtype of the weight arrays
+(float32 in production, float64 in the FD tests). Gradients are
+accumulated in float64 regardless, so summing per-partition partials in
+any order agrees with the serial loop to ~1e-12 — the distributed-vs-
+serial tolerance is set by float32 forward math, not by reduction order.
+
+Dropout: `dropout_p=0` (identity) is the deterministic parity surface.
+p>0 uses a seeded Generator (deterministic under a fixed seed and batch
+order, but a different stream than torch's — documented delta).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# canonical parameter order for flatten/unflatten (the SGD state vector)
+PARAM_KEYS = (
+    "word_emb", "pos1_emb", "pos2_emb", "conv_w", "conv_b",
+    "fc_w", "fc_b", "att_diag",
+)
+
+
+def zero_grads(weights: dict) -> dict:
+    return {k: np.zeros_like(weights[k], dtype=np.float64) for k in PARAM_KEYS}
+
+
+def flatten_grads(grads: dict) -> np.ndarray:
+    return np.concatenate([grads[k].ravel() for k in PARAM_KEYS])
+
+
+def unflatten_grads(vec: np.ndarray, weights: dict) -> dict:
+    out, off = {}, 0
+    for k in PARAM_KEYS:
+        n = weights[k].size
+        out[k] = vec[off : off + n].reshape(weights[k].shape)
+        off += n
+    return out
+
+
+def sgd_step(weights: dict, grads: dict, lr: float, weight_decay: float) -> dict:
+    """optim.SGD with coupled L2 (torch: d_p = g + wd*p; p -= lr*d_p).
+    Returns a NEW weight dict (old arrays untouched — executors may
+    still hold broadcast references to them)."""
+    out = dict(weights)
+    for k in PARAM_KEYS:
+        p = weights[k]
+        g = grads[k] + weight_decay * p.astype(np.float64)
+        out[k] = (p.astype(np.float64) - lr * g).astype(p.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encoder forward (train mode) + backward
+# ---------------------------------------------------------------------------
+
+def _embed(token, pos1, pos2, weights):
+    """(B, L, C) concatenated input features, in the weights' dtype."""
+    return np.concatenate(
+        [
+            weights["word_emb"][token],
+            weights["pos1_emb"][pos1],
+            weights["pos2_emb"][pos2],
+        ],
+        axis=2,
+    )
+
+
+def _conv_full(x, w, b):
+    """Full-length conv (out[:, t] = sum_k xp[:, t+k] @ w[:,:,k].T + b).
+    Training keeps the whole (B, L, H) map for maxpool backward, so the
+    eval path's pad-window truncation (kernels.cnn_forward) is not
+    applied here — the reference trains over the full padded length
+    (cnn_encoder.py:44) and so do we."""
+    B, L, C = x.shape
+    H, _, K = w.shape
+    pad = (K - 1) // 2
+    xp = np.zeros((B, L + 2 * pad, C), dtype=x.dtype)
+    xp[:, pad : pad + L, :] = x
+    out = np.broadcast_to(b, (B, L, H)).astype(x.dtype).copy()
+    for k in range(K):
+        out += xp[:, k : k + L, :] @ w[:, :, k].T
+    return out, xp
+
+
+def encoder_forward_train(token, pos1, pos2, weights):
+    """CNNEncoder train forward WITHOUT the trailing dropout (the caller
+    owns dropout so the bag path can place it exactly where the
+    reference does). Returns (rep (B, H), cache for backward)."""
+    x = _embed(token, pos1, pos2, weights)
+    conv, xp = _conv_full(x, weights["conv_w"], weights["conv_b"])
+    relu = np.maximum(conv, 0)
+    amax = relu.argmax(axis=1)  # (B, H) first-max index, torch tie rule
+    rep = np.take_along_axis(relu, amax[:, None, :], axis=1)[:, 0, :]
+    cache = {
+        "token": token, "pos1": pos1, "pos2": pos2,
+        "xp": xp, "amax": amax, "pos_mask": rep > 0,
+    }
+    return rep, cache
+
+
+def encoder_backward(d_rep, cache, weights, grads):
+    """Backprop d_rep (B, H) through maxpool -> relu -> conv -> embed,
+    accumulating into grads (float64). MaxPool routes each channel's
+    gradient to its (first) argmax position; ReLU gates on output > 0."""
+    w = weights["conv_w"]
+    H, C, K = w.shape
+    xp = cache["xp"]
+    B, Lp, _ = xp.shape
+    pad = (K - 1) // 2
+    L = Lp - 2 * pad
+    d_conv = np.zeros((B, L, H), dtype=np.float64)
+    d_gate = np.where(cache["pos_mask"], d_rep, 0.0).astype(np.float64)
+    np.put_along_axis(d_conv, cache["amax"][:, None, :], d_gate[:, None, :], axis=1)
+
+    grads["conv_b"] += d_conv.sum(axis=(0, 1))
+    d_xp = np.zeros((B, Lp, C), dtype=np.float64)
+    dc2 = d_conv.reshape(B * L, H)
+    for k in range(K):
+        xk = xp[:, k : k + L, :].reshape(B * L, C)
+        grads["conv_w"][:, :, k] += dc2.T @ xk
+        d_xp[:, k : k + L, :] += d_conv @ w[:, :, k].astype(np.float64)
+    d_x = d_xp[:, pad : pad + L, :]
+
+    wsz = weights["word_emb"].shape[1]
+    psz = weights["pos1_emb"].shape[1]
+    np.add.at(grads["word_emb"], cache["token"].ravel(),
+              d_x[:, :, :wsz].reshape(-1, wsz))
+    np.add.at(grads["pos1_emb"], cache["pos1"].ravel(),
+              d_x[:, :, wsz : wsz + psz].reshape(-1, psz))
+    np.add.at(grads["pos2_emb"], cache["pos2"].ravel(),
+              d_x[:, :, wsz + psz :].reshape(-1, psz))
+
+
+# ---------------------------------------------------------------------------
+# loss
+# ---------------------------------------------------------------------------
+
+def _log_softmax(z):
+    z = z - z.max(axis=-1, keepdims=True)
+    return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+
+
+def ce_loss_and_dlogits(logits, labels, class_weights=None):
+    """nn.CrossEntropyLoss forward + d_loss/d_logits, SUM form.
+
+    Returns (loss_wsum, w_sum, d_logits) where the mean loss for a batch
+    (or a union of partial batches) is loss_wsum / w_sum and d_logits is
+    the gradient of the SUM (caller divides by the global w_sum — this
+    is what makes per-partition partials exactly composable). Unweighted
+    CE is the w=1 case (w_sum = batch size)."""
+    B, N = logits.shape
+    ls = _log_softmax(logits.astype(np.float64))
+    if class_weights is None:
+        w = np.ones(B, dtype=np.float64)
+    else:
+        w = class_weights.astype(np.float64)[labels]
+    loss_wsum = float(-(w * ls[np.arange(B), labels]).sum())
+    d = np.exp(ls)
+    d[np.arange(B), labels] -= 1.0
+    d *= w[:, None]
+    return loss_wsum, float(w.sum()), d
+
+
+# ---------------------------------------------------------------------------
+# bag attention: train forward + backward over one batch of bags
+# ---------------------------------------------------------------------------
+
+def _dropout_mask(shape, p, rng, dtype):
+    """Inverted dropout (torch semantics: zero w.p. p, scale kept by
+    1/(1-p)). rng=None or p=0 -> None (identity)."""
+    if p <= 0 or rng is None:
+        return None
+    return (rng.random(shape) >= p).astype(dtype) / dtype.type(1 - p)
+
+
+def bag_att_train_batch(
+    token, pos1, pos2, scopes, labels, weights,
+    class_weights=None, dropout_p: float = 0.0, rng=None,
+):
+    """One training batch of bags through BagAttention (train branch,
+    bag_size=0 semantics, use_diag=True): returns
+    (loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads).
+
+    token/pos1/pos2: (nsum, L) int arrays — every member sentence of
+    every bag in the batch, concatenated. scopes: (B, 2) [begin, end)
+    slices. labels: (B,) gold relation ids (the attention QUERY,
+    bag_attention.py:108-114 — train bags are keyed by the gold fact,
+    entpair_as_bag=False, data_loader.py:166-168).
+
+    Gradients are the SUM over bags (see ce_loss_and_dlogits); the
+    caller normalizes by the global weight sum so partials computed on
+    different executors compose exactly.
+    """
+    dt = weights["fc_w"].dtype
+    fc_w, fc_b, diag = weights["fc_w"], weights["fc_b"], weights["att_diag"]
+    B = len(labels)
+
+    rep, cache = encoder_forward_train(token, pos1, pos2, weights)
+    enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    rep_d = rep * enc_mask if enc_mask is not None else rep
+
+    # attention per bag (train branch): query = gold label
+    att_mats = fc_w[labels] * diag[None, :]  # (B, H)
+    bag_rep = np.empty((B, fc_w.shape[1]), dtype=dt)
+    att_cache = []
+    for i in range(B):
+        lo, hi = scopes[i]
+        m = rep_d[lo:hi]  # (n, H)
+        s = m @ att_mats[i]  # (n,)
+        s = s - s.max()
+        e = np.exp(s)
+        a = e / e.sum()
+        bag_rep[i] = a @ m
+        att_cache.append(a)
+
+    bag_mask = _dropout_mask(bag_rep.shape, dropout_p, rng, bag_rep.dtype)
+    bag_rep_d = bag_rep * bag_mask if bag_mask is not None else bag_rep
+    logits = bag_rep_d @ fc_w.T + fc_b
+
+    loss_wsum, w_sum, d_logits = ce_loss_and_dlogits(
+        logits, labels, class_weights
+    )
+    pred = logits.argmax(axis=-1)
+    n_correct = int((pred == labels).sum())
+    pos = labels != 0
+    n_pos = int(pos.sum())
+    n_pos_correct = int(((pred == labels) & pos).sum())
+
+    grads = zero_grads(weights)
+    # fc consumes bag_rep_d both as input and (rows indexed by label)
+    # as the attention query matrix
+    grads["fc_b"] += d_logits.sum(axis=0)
+    grads["fc_w"] += d_logits.T @ bag_rep_d.astype(np.float64)
+    d_bag_rep_d = d_logits @ fc_w.astype(np.float64)  # (B, H)
+    d_bag_rep = (
+        d_bag_rep_d * bag_mask if bag_mask is not None else d_bag_rep_d
+    )
+
+    d_rep_d = np.zeros(rep.shape, dtype=np.float64)
+    fc_w64 = fc_w.astype(np.float64)
+    diag64 = diag.astype(np.float64)
+    for i in range(B):
+        lo, hi = scopes[i]
+        m = rep_d[lo:hi].astype(np.float64)
+        a = att_cache[i].astype(np.float64)
+        db = d_bag_rep[i]
+        d_a = m @ db
+        d_rep_d[lo:hi] += a[:, None] * db[None, :]
+        d_s = a * (d_a - a @ d_a)  # softmax backward
+        am = att_mats[i].astype(np.float64)
+        d_rep_d[lo:hi] += d_s[:, None] * am[None, :]
+        d_att_mat = d_s @ m  # (H,)
+        y = labels[i]
+        grads["fc_w"][y] += d_att_mat * diag64
+        grads["att_diag"] += d_att_mat * fc_w64[y]
+
+    if enc_mask is not None:
+        d_rep_d *= enc_mask
+    encoder_backward(d_rep_d, cache, weights, grads)
+    return loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads
+
+
+# ---------------------------------------------------------------------------
+# sentence softmax model: train forward + backward
+# ---------------------------------------------------------------------------
+
+def sentence_train_batch(
+    token, pos1, pos2, labels, weights,
+    class_weights=None, dropout_p: float = 0.0, rng=None,
+):
+    """One batch through CNNEncoder -> dropout -> fc -> CE
+    (SentenceRE.train_model step, sentence_re.py:104-127; SoftmaxNN
+    forward softmax_nn.py:45-50). Same partial-composable SUM contract
+    as bag_att_train_batch; returns
+    (loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads)."""
+    fc_w, fc_b = weights["fc_w"], weights["fc_b"]
+    rep, cache = encoder_forward_train(token, pos1, pos2, weights)
+    mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    rep_d = rep * mask if mask is not None else rep
+    logits = rep_d @ fc_w.T + fc_b
+    loss_wsum, w_sum, d_logits = ce_loss_and_dlogits(
+        logits, labels, class_weights
+    )
+    pred = logits.argmax(axis=-1)
+    n_correct = int((pred == labels).sum())
+    pos = labels != 0
+    n_pos = int(pos.sum())
+    n_pos_correct = int(((pred == labels) & pos).sum())
+
+    grads = zero_grads(weights)
+    grads["fc_b"] += d_logits.sum(axis=0)
+    grads["fc_w"] += d_logits.T @ rep_d.astype(np.float64)
+    d_rep = d_logits @ fc_w.astype(np.float64)
+    if mask is not None:
+        d_rep *= mask
+    encoder_backward(d_rep, cache, weights, grads)
+    return loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads

@@ -1,0 +1,529 @@
+"""Distributed training (SURVEY.md §2 A3 + the train loops): synchronous
+data-parallel SGD for the bag-attention and sentence models, re-expressing
+`BagRE.train_model` (/root/reference/opennre/framework/bag_re.py:100-152)
+and `SentenceRE.train_model` (sentence_re.py:96-139) in Spark.
+
+Shape (the classic Spark parameter-server-less pattern, MLlib-style):
+  1. label + encode instances ONCE (distant supervision join + one
+     mapInPandas tokenize/encode pass) and assemble train bags keyed by
+     the gold fact (h_id, t_id, label) — `entpair_as_bag=False`
+     training semantics (data_loader.py:166-168);
+  2. localCheckpoint the assembled bag table (training iterates many
+     steps over it — the lineage must not re-run mention detection
+     every step);
+  3. per optimizer step: broadcast the current weights, compute
+     per-partition gradient PARTIALS with one mapInPandas pass
+     (functions/grad_kernels — SUM-form gradients compose exactly),
+     sum the <= n_partitions partial rows on the driver, apply the SGD
+     update (p -= lr * (g/w_sum + wd * p)), update the AverageMeter
+     stats exactly like the reference's per-step meter updates.
+
+Batch schedule: the reference shuffles bags into fixed-size batches
+each epoch (DataLoader shuffle=True — nondeterministic). Here each
+epoch assigns `batch = xxhash64(bag_key, epoch_seed) mod n_batches` —
+deterministic under any partitioning, no global sort/window at scale;
+batch sizes are Poisson(batch_size) rather than exactly fixed
+(documented delta, same expectation; SURVEY.md §7 determinism contract).
+
+Scale notes (100 TB): the gradient vector is the MODEL size (~52k
+params at the reduced schema; ~15M at wiki80_cnn full config — a few
+MB as float64), independent of corpus size; one partial row per
+partition crosses the wire per step, so a step costs one scan of the
+(cached, columnar) batch + a driver-side reduce of n_partitions
+vectors. At thousands of partitions swap the driver reduce for a
+two-level combine (groupBy(part_id % K) zip_with-sum, then driver);
+word-embedding gradients are dense here — at a real 400k-row vocab
+emit (touched-row indices, values) pairs instead. Both are documented
+extension points, not semantic changes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import config, relations
+from ..functions import grad_kernels as gk
+from .bags import _SORT_COLS, resize_bag
+from .candidates import candidate_pairs
+from .mentions import detect_mentions
+
+_PARTIAL_SCHEMA = (
+    "loss_wsum double, w_sum double, n double, n_correct double, "
+    "n_pos double, n_pos_correct double, grad array<double>"
+)
+
+# sentences per kernel invocation inside a partial — bounds the
+# (B, L, H) conv map + im2col cache exactly like EVAL_MICRO_BATCH
+# bounds the eval path (reference bs=256, bag_attention.py:140)
+_TRAIN_MICRO_SENTS = 512
+
+
+def distant_supervision_instances(
+    transcripts: DataFrame,
+    facts: DataFrame,
+    schema: str = "reduced",
+    window_turns: int = config.PAIR_WINDOW_TURNS,
+) -> DataFrame:
+    """Distant-supervision labeling: every candidate instance whose
+    (h_id, t_id) appears in the KB `facts` (h_id, relation, t_id) gets
+    that fact's relation label; everything else is NA — the construction
+    the reference's training JSON encodes offline (its `relation` field
+    per instance, data_loader.py:155-168). Pairs with multiple KB
+    relations take the lowest relation id (deterministic).
+
+    Returns instance rows + `label_id` int. The facts side is
+    broadcast when small (size-gated — KBs at corpus scale are not)."""
+    from .linking import broadcast_hint_if_small
+
+    rel2id = relations.rel2id_for(schema)
+    from ..pipeline import na_rel_id
+
+    na_id = na_rel_id(rel2id) or 0
+    spark = transcripts.sparkSession
+    rel_dim = spark.createDataFrame(
+        [(r, i) for r, i in sorted(rel2id.items())],
+        "relation string, label_id int",
+    )
+    fact_labels = (
+        facts.join(F.broadcast(rel_dim), "relation")
+        .groupBy("h_id", "t_id")
+        .agg(F.min("label_id").alias("label_id"))
+    )
+    fact_labels, hint = broadcast_hint_if_small(fact_labels)
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    inst = candidate_pairs(mentions, window_turns=window_turns)
+    return inst.join(hint(fact_labels), ["h_id", "t_id"], "left").withColumn(
+        "label_id", F.coalesce(F.col("label_id"), F.lit(na_id)).cast("int")
+    )
+
+
+_ENC_COLS = ["h_id", "t_id", "label_id"] + _SORT_COLS
+
+
+def encode_labeled(instances: DataFrame, schema: str = "reduced") -> DataFrame:
+    """Tokenize+encode once, up front: training sweeps the data
+    epochs × steps times, so the string work must not re-run per step
+    (the reference's DataLoader caches nothing and re-tokenizes every
+    epoch — data_loader.py:196; doing that in a distributed loop would
+    be the dominant cost). Emits token/pos1/pos2 as int32 arrays."""
+    out_schema = T.StructType(
+        [f for f in instances.schema.fields if f.name in _ENC_COLS]
+        + [
+            T.StructField("token", T.ArrayType(T.IntegerType()), False),
+            T.StructField("pos1", T.ArrayType(T.IntegerType()), False),
+            T.StructField("pos2", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+    keep = [f.name for f in instances.schema.fields if f.name in _ENC_COLS]
+
+    def run(batches):
+        from ..functions.encoding import encode_batch
+        from ..functions.weights import default_model
+
+        vocab, weights = default_model(schema=schema)
+        pad_id, unk_id = vocab["[PAD]"], vocab["[UNK]"]
+        L = int(weights["max_length"])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            enc = encode_batch(
+                pdf["text"].tolist(),
+                pdf["h_begin"].to_numpy(), pdf["h_end"].to_numpy(),
+                pdf["t_begin"].to_numpy(), pdf["t_end"].to_numpy(),
+                vocab, L, pad_id, unk_id, with_mask=False,
+            )
+            out = pdf[keep].copy()
+            out["token"] = list(enc["token"].astype(np.int32))
+            out["pos1"] = list(enc["pos1"].astype(np.int32))
+            out["pos2"] = list(enc["pos2"].astype(np.int32))
+            yield out
+
+    return instances.mapInPandas(run, schema=out_schema)
+
+
+def assemble_train_bags(
+    encoded: DataFrame, bag_cap: int = 0
+) -> DataFrame:
+    """Bags keyed by the gold fact (h_id, t_id, label_id) with the
+    members' encoded arrays collected per bag. Same skew guard as the
+    eval path (bags.bag_scores_batched): with bag_cap > 0 a row_number
+    window over the stable member order prunes BEFORE collect_list, so
+    a hot pair cannot overflow the aggregation buffer."""
+    sort_cols = [c for c in _SORT_COLS if c in encoded.columns]
+    if bag_cap > 0 and sort_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("h_id", "t_id", "label_id").orderBy(
+            *[F.col(c) for c in sort_cols]
+        )
+        encoded = (
+            encoded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.lit(bag_cap))
+            .drop("__rn")
+        )
+    member = F.struct(
+        *sort_cols, F.col("token"), F.col("pos1"), F.col("pos2")
+    )
+    return encoded.groupBy("h_id", "t_id", "label_id").agg(
+        F.collect_list(member).alias("members")
+    )
+
+
+def epoch_batch_col(epoch: int, n_batches: int, seed: int):
+    """Deterministic per-epoch batch assignment: no global sort, no
+    single-partition window — evaluable map-side at any scale."""
+    return F.pmod(
+        F.xxhash64("h_id", "t_id", "label_id", F.lit(seed * 1_000_003 + epoch)),
+        F.lit(n_batches),
+    ).cast("int")
+
+
+def sentence_batch_col(epoch: int, n_batches: int, seed: int,
+                       sort_cols: list[str]):
+    """Instance-level batch assignment over the full natural row key."""
+    return F.pmod(
+        F.xxhash64(
+            "h_id", "t_id", "label_id", *sort_cols,
+            F.lit(seed * 1_000_003 + epoch),
+        ),
+        F.lit(n_batches),
+    ).cast("int")
+
+
+def _bag_partials(
+    weights_bc, class_weights, dropout_p: float, bag_size: int, bag_seed: int,
+    sort_cols: list[str], rng_salt: int = 0,
+):
+    """mapInPandas kernel: ONE partial row per partition with SUM-form
+    gradients + meter numerators (grad_kernels contract). dropout_p > 0
+    seeds a per-(salt, partition) Generator — deterministic given the
+    schedule, a different stream than torch's (documented delta)."""
+
+    def run(batches):
+        weights = weights_bc.value
+        rng = None
+        if dropout_p > 0:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            rng = np.random.default_rng((rng_salt, pid))
+        acc = None
+        loss_wsum = w_sum = n = n_correct = n_pos = n_pos_correct = 0.0
+
+        def flush(tok_list, scope_list, labels):
+            nonlocal acc, loss_wsum, w_sum, n, n_correct, n_pos, n_pos_correct
+            if not labels:
+                return
+            token = np.concatenate([t[0] for t in tok_list])
+            pos1 = np.concatenate([t[1] for t in tok_list])
+            pos2 = np.concatenate([t[2] for t in tok_list])
+            lw, ws, nc, npos, npc, grads = gk.bag_att_train_batch(
+                token, pos1, pos2,
+                np.asarray(scope_list, dtype=np.int64),
+                np.asarray(labels, dtype=np.int64),
+                weights, class_weights=class_weights, dropout_p=dropout_p,
+                rng=rng,
+            )
+            loss_wsum += lw
+            w_sum += ws
+            n += len(labels)
+            n_correct += nc
+            n_pos += npos
+            n_pos_correct += npc
+            g = gk.flatten_grads(grads)
+            acc = g if acc is None else acc + g
+
+        tok_list, scope_list, labels, n_sents = [], [], [], 0
+        for pdf in batches:
+            for h, t, lab, members in zip(
+                pdf["h_id"], pdf["t_id"], pdf["label_id"], pdf["members"]
+            ):
+                members = sorted(
+                    members, key=lambda m: tuple(m[c] for c in sort_cols)
+                )
+                sub = pd.DataFrame(
+                    {
+                        "token": [np.asarray(m["token"]) for m in members],
+                        "pos1": [np.asarray(m["pos1"]) for m in members],
+                        "pos2": [np.asarray(m["pos2"]) for m in members],
+                    }
+                )
+                if bag_size > 0:
+                    sub = resize_bag(sub, bag_size, h, t, bag_seed)
+                k = len(sub)
+                tok_list.append(
+                    (
+                        np.stack(sub["token"].tolist()),
+                        np.stack(sub["pos1"].tolist()),
+                        np.stack(sub["pos2"].tolist()),
+                    )
+                )
+                scope_list.append((n_sents, n_sents + k))
+                labels.append(int(lab))
+                n_sents += k
+                if n_sents >= _TRAIN_MICRO_SENTS:
+                    flush(tok_list, scope_list, labels)
+                    tok_list, scope_list, labels, n_sents = [], [], [], 0
+        flush(tok_list, scope_list, labels)
+        if acc is not None:
+            yield pd.DataFrame(
+                {
+                    "loss_wsum": [loss_wsum], "w_sum": [w_sum], "n": [n],
+                    "n_correct": [n_correct], "n_pos": [n_pos],
+                    "n_pos_correct": [n_pos_correct], "grad": [acc],
+                }
+            )
+
+    return run
+
+
+def class_freq_weight_vector(encoded: DataFrame, n_rel: int) -> np.ndarray:
+    """The BagRELoader loss_weight vector: per-INSTANCE label counts,
+    w = 1 / count**0.05 (data_loader.py:176-178)."""
+    counts = {
+        r["label_id"]: r["cnt"]
+        for r in encoded.groupBy("label_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    freq = np.array([counts.get(i, 0) for i in range(n_rel)], dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        return (1.0 / freq**0.05).astype(np.float32)
+
+
+def train_bag_attention(
+    instances: DataFrame,
+    schema: str = "reduced",
+    epochs: int = 2,
+    batch_size: int = 160,
+    lr: float = 0.1,
+    weight_decay: float = 1e-5,
+    loss_weight: bool = False,
+    bag_cap: int = 0,
+    bag_size: int = 0,
+    dropout: float = 0.0,
+    seed: int = 42,
+    init_weights: dict | None = None,
+) -> tuple[dict, list[dict]]:
+    """BagRE.train_model (bag_re.py:100-152) as synchronous distributed
+    SGD. `instances` are labeled rows (text, spans, h_id, t_id,
+    label_id, stable-order cols) — see distant_supervision_instances.
+
+    Defaults mirror the reference (batch_size... bag_re.py:16-21 uses 32;
+    the published example scripts use 160; lr=0.1, wd=1e-5, opt='sgd').
+    dropout=0 is the deterministic parity surface (reference default is
+    p=0.5 with torch's RNG stream — not reproducible here; dropout>0
+    uses a numpy Generator seeded per (seed, epoch, step)).
+
+    Returns (trained weight dict, per-epoch metric rows with the same
+    AverageMeter semantics as the reference's progress bar: per-step
+    batch-mean loss/acc/pos_acc averaged over the epoch's steps)."""
+    spark = instances.sparkSession
+    if init_weights is None:
+        from ..functions.weights import default_model
+
+        _, w0 = default_model(schema=schema)
+        weights = dict(w0)
+    else:
+        weights = dict(init_weights)
+
+    encoded = encode_labeled(instances, schema=schema)
+    bags = assemble_train_bags(encoded, bag_cap=bag_cap).localCheckpoint()
+    n_bags = bags.count()
+    if n_bags == 0:
+        return weights, []
+    class_weights = (
+        class_freq_weight_vector(encoded, weights["fc_w"].shape[0])
+        if loss_weight
+        else None
+    )
+    sort_cols = [c for c in _SORT_COLS if c in instances.columns]
+    n_batches = max(1, math.ceil(n_bags / batch_size))
+    history: list[dict] = []
+    sc = spark.sparkContext
+    for epoch in range(epochs):
+        with_batch = bags.withColumn(
+            "__batch", epoch_batch_col(epoch, n_batches, seed)
+        )
+        sums = {"loss": 0.0, "acc": 0.0, "pos_acc": 0.0}
+        n_steps = 0
+        for step in range(n_batches):
+            weights_bc = sc.broadcast(weights)
+            partials = (
+                with_batch.filter(F.col("__batch") == F.lit(step))
+                .drop("__batch")
+                .mapInPandas(
+                    _bag_partials(
+                        weights_bc, class_weights, dropout, bag_size, seed,
+                        sort_cols, rng_salt=seed * 7919 + epoch * 101 + step,
+                    ),
+                    schema=_PARTIAL_SCHEMA,
+                )
+                .collect()
+            )
+            weights_bc.destroy()
+            if not partials:
+                continue  # hash-mod batch came up empty this epoch
+            loss_wsum = sum(r["loss_wsum"] for r in partials)
+            w_sum = sum(r["w_sum"] for r in partials)
+            n = sum(r["n"] for r in partials)
+            n_correct = sum(r["n_correct"] for r in partials)
+            n_pos = sum(r["n_pos"] for r in partials)
+            n_pos_correct = sum(r["n_pos_correct"] for r in partials)
+            gvec = np.sum(
+                [np.asarray(r["grad"], dtype=np.float64) for r in partials],
+                axis=0,
+            ) / w_sum
+            weights = gk.sgd_step(
+                weights, gk.unflatten_grads(gvec, weights), lr, weight_decay
+            )
+            sums["loss"] += loss_wsum / w_sum
+            sums["acc"] += n_correct / n
+            sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
+            n_steps += 1
+        history.append(
+            {
+                "epoch": epoch,
+                "n_steps": n_steps,
+                "avg_loss": sums["loss"] / max(n_steps, 1),
+                "avg_acc": sums["acc"] / max(n_steps, 1),
+                "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
+            }
+        )
+    return weights, history
+
+
+def _sentence_partials(weights_bc, class_weights, dropout_p: float,
+                       rng_salt: int = 0):
+    def run(batches):
+        weights = weights_bc.value
+        rng = None
+        if dropout_p > 0:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            rng = np.random.default_rng((rng_salt, pid))
+        acc = None
+        loss_wsum = w_sum = n = n_correct = n_pos = n_pos_correct = 0.0
+        for pdf in batches:
+            for lo in range(0, len(pdf), _TRAIN_MICRO_SENTS):
+                sub = pdf.iloc[lo : lo + _TRAIN_MICRO_SENTS]
+                token = np.stack([np.asarray(t) for t in sub["token"]])
+                pos1 = np.stack([np.asarray(t) for t in sub["pos1"]])
+                pos2 = np.stack([np.asarray(t) for t in sub["pos2"]])
+                labels = sub["label_id"].to_numpy(dtype=np.int64)
+                lw, ws, nc, npos, npc, grads = gk.sentence_train_batch(
+                    token, pos1, pos2, labels, weights,
+                    class_weights=class_weights, dropout_p=dropout_p, rng=rng,
+                )
+                loss_wsum += lw
+                w_sum += ws
+                n += len(labels)
+                n_correct += nc
+                n_pos += npos
+                n_pos_correct += npc
+                g = gk.flatten_grads(grads)
+                acc = g if acc is None else acc + g
+        if acc is not None:
+            yield pd.DataFrame(
+                {
+                    "loss_wsum": [loss_wsum], "w_sum": [w_sum], "n": [n],
+                    "n_correct": [n_correct], "n_pos": [n_pos],
+                    "n_pos_correct": [n_pos_correct], "grad": [acc],
+                }
+            )
+
+    return run
+
+
+def train_sentence_model(
+    instances: DataFrame,
+    schema: str = "reduced",
+    epochs: int = 2,
+    batch_size: int = 512,
+    lr: float = 0.1,
+    weight_decay: float = 1e-5,
+    loss_weight: bool = False,
+    dropout: float = 0.0,
+    seed: int = 42,
+    init_weights: dict | None = None,
+) -> tuple[dict, list[dict]]:
+    """SentenceRE.train_model (sentence_re.py:96-139): per-sentence CE
+    over the softmax classifier, same distributed step shape as
+    train_bag_attention but batching INSTANCES (the reference's
+    SentenceRELoader batches sentences, not bags)."""
+    spark = instances.sparkSession
+    if init_weights is None:
+        from ..functions.weights import default_model
+
+        _, w0 = default_model(schema=schema)
+        weights = dict(w0)
+    else:
+        weights = dict(init_weights)
+    encoded = encode_labeled(instances, schema=schema).localCheckpoint()
+    n_inst = encoded.count()
+    if n_inst == 0:
+        return weights, []
+    class_weights = (
+        class_freq_weight_vector(encoded, weights["fc_w"].shape[0])
+        if loss_weight
+        else None
+    )
+    sort_cols = [c for c in _SORT_COLS if c in encoded.columns]
+    n_batches = max(1, math.ceil(n_inst / batch_size))
+    history: list[dict] = []
+    sc = spark.sparkContext
+    for epoch in range(epochs):
+        with_batch = encoded.withColumn(
+            "__batch", sentence_batch_col(epoch, n_batches, seed, sort_cols)
+        )
+        sums = {"loss": 0.0, "acc": 0.0, "pos_acc": 0.0}
+        n_steps = 0
+        for step in range(n_batches):
+            weights_bc = sc.broadcast(weights)
+            partials = (
+                with_batch.filter(F.col("__batch") == F.lit(step))
+                .drop("__batch")
+                .mapInPandas(
+                    _sentence_partials(
+                        weights_bc, class_weights, dropout,
+                        rng_salt=seed * 7919 + epoch * 101 + step,
+                    ),
+                    schema=_PARTIAL_SCHEMA,
+                )
+                .collect()
+            )
+            weights_bc.destroy()
+            if not partials:
+                continue
+            loss_wsum = sum(r["loss_wsum"] for r in partials)
+            w_sum = sum(r["w_sum"] for r in partials)
+            n = sum(r["n"] for r in partials)
+            n_correct = sum(r["n_correct"] for r in partials)
+            n_pos = sum(r["n_pos"] for r in partials)
+            n_pos_correct = sum(r["n_pos_correct"] for r in partials)
+            gvec = np.sum(
+                [np.asarray(r["grad"], dtype=np.float64) for r in partials],
+                axis=0,
+            ) / w_sum
+            weights = gk.sgd_step(
+                weights, gk.unflatten_grads(gvec, weights), lr, weight_decay
+            )
+            sums["loss"] += loss_wsum / w_sum
+            sums["acc"] += n_correct / n
+            sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
+            n_steps += 1
+        history.append(
+            {
+                "epoch": epoch,
+                "n_steps": n_steps,
+                "avg_loss": sums["loss"] / max(n_steps, 1),
+                "avg_acc": sums["acc"] / max(n_steps, 1),
+                "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
+            }
+        )
+    return weights, history

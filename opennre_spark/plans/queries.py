@@ -20,6 +20,7 @@ views of the same files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -795,6 +796,73 @@ def _kg_bert(spark, sf_dir):
     )
 
 
+def _kg_train_bag_att(spark, sf_dir):
+    """Distributed training end-to-end (A3 + BagRE.train_model,
+    bag_re.py:100-152): distant-supervision labeling from the gold KB,
+    2 epochs of synchronous data-parallel SGD over fact-keyed bags,
+    per-epoch AverageMeter rows. Rows-only (an optimizer loop is not
+    ANSI-SQL-expressible); parity vs the serial loop + FD grad checks
+    is pytest-verified (tests/test_training.py)."""
+    from ..operators.training import (
+        distant_supervision_instances,
+        train_bag_attention,
+    )
+    from ..sources.transcripts import gold_df, transcripts_df
+
+    n = 24  # fixed: the query exercises the loop, not corpus scale
+    t = transcripts_df(spark, n)
+    facts = gold_df(spark, n).select(
+        "h_id", F.col("pred").alias("relation"), "t_id"
+    ).distinct()
+    inst = distant_supervision_instances(t, facts)
+    # large-batch synchronous SGD (few sync barriers — the 100 TB shape)
+    _, hist = train_bag_attention(
+        inst, epochs=2, batch_size=256, lr=0.4, weight_decay=1e-5, seed=42
+    )
+    return spark.createDataFrame(
+        [
+            (
+                h["epoch"], h["n_steps"], float(h["avg_loss"]),
+                float(h["avg_acc"]), float(h["avg_pos_acc"]),
+            )
+            for h in hist
+        ],
+        "epoch int, n_steps int, avg_loss double, avg_acc double, "
+        "avg_pos_acc double",
+    )
+
+
+def _kg_train_sentence(spark, sf_dir):
+    """SentenceRE.train_model (sentence_re.py:96-139) distributed —
+    instance-batched CE over the softmax classifier. Rows-only."""
+    from ..operators.training import (
+        distant_supervision_instances,
+        train_sentence_model,
+    )
+    from ..sources.transcripts import gold_df, transcripts_df
+
+    n = 24  # fixed: the query exercises the loop, not corpus scale
+    t = transcripts_df(spark, n)
+    facts = gold_df(spark, n).select(
+        "h_id", F.col("pred").alias("relation"), "t_id"
+    ).distinct()
+    inst = distant_supervision_instances(t, facts)
+    _, hist = train_sentence_model(
+        inst, epochs=2, batch_size=1024, lr=0.4, weight_decay=1e-5, seed=42
+    )
+    return spark.createDataFrame(
+        [
+            (
+                h["epoch"], h["n_steps"], float(h["avg_loss"]),
+                float(h["avg_acc"]), float(h["avg_pos_acc"]),
+            )
+            for h in hist
+        ],
+        "epoch int, n_steps int, avg_loss double, avg_acc double, "
+        "avg_pos_acc double",
+    )
+
+
 def _q_media_features(spark, sf_dir):
     # feature_digests, not extract_features: the driver canonicalizer
     # sorts every output column, so the raw array<float> column must be
@@ -1046,6 +1114,8 @@ def queries() -> dict:
     out["w2_pr_curve_dist"] = _q_w2_dist
     out["text_document_stats"] = _q_doc_stats
     out["kg_entity_linking"] = _q_entity_linking
+    out["kg_train_bag_att"] = _kg_train_bag_att
+    out["kg_train_sentence"] = _kg_train_sentence
     out["media_feature_extract"] = _q_media_features
     out["media_frame_sample"] = _q_media_frames
     out["media_resize_plan"] = _q_media_resize

@@ -1,0 +1,194 @@
+"""Serial training oracles for operators/training.py.
+
+Two independent checks compose (torch is absent in the sandbox):
+  - `naive_bag_loss` / `naive_sentence_loss`: train-mode FORWARD written
+    from the reference sources with plain loops (reusing the naive conv
+    from reference_math) — validates grad_kernels' vectorized forward.
+    Backward is validated against these plus central finite differences
+    in tests/test_training.py (autograd-free, implementation-independent).
+  - `serial_train_bags` / `serial_train_sentences`: the optimizer loop
+    run one bag / one row at a time on the driver, calling the SAME
+    per-example kernel the executors run — validates the distributed
+    orchestration (batch schedule, scope assembly, partial-gradient
+    summation, meter bookkeeping) against a trivially-correct serial
+    execution of the identical schedule.
+
+Reference math: bag_attention.py:100-137 (train branch, bag_size=0),
+cnn_encoder.py:58-65, softmax_nn.py:45-50, bag_re.py:100-152 (SGD +
+meters), data_loader.py:176-178 (loss weights).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from opennre_spark.functions import grad_kernels as gk
+
+from .reference_math import oracle_conv
+
+
+def _naive_rep(token, pos1, pos2, W):
+    """CNNEncoder forward for ONE sentence, loops only (no dropout)."""
+    L = len(token)
+    x = np.concatenate(
+        [W["word_emb"][token], W["pos1_emb"][pos1], W["pos2_emb"][pos2]],
+        axis=1,
+    )  # (L, C)
+    conv = oracle_conv(x[None, :, :], W["conv_w"], W["conv_b"])[0]  # (L, H)
+    relu = np.maximum(conv, 0)
+    return relu.max(axis=0)  # (H,)
+
+
+def _naive_log_softmax(z):
+    z = np.asarray(z, dtype=np.float64)
+    m = max(z)
+    s = math.log(sum(math.exp(v - m) for v in z))
+    return [v - m - s for v in z]
+
+
+def naive_bag_loss(bags, W, class_weights=None):
+    """Mean CE over a batch of bags through the train-mode attention
+    (query = gold label), all-loops. bags: list of (members, label)
+    where members is a list of (token, pos1, pos2) int arrays.
+    Returns (mean_loss, preds)."""
+    loss_wsum = 0.0
+    w_sum = 0.0
+    preds = []
+    for members, label in bags:
+        reps = [_naive_rep(t, p1, p2, W) for (t, p1, p2) in members]
+        att_mat = W["fc_w"][label] * W["att_diag"]
+        scores = [float(r @ att_mat) for r in reps]
+        m = max(scores)
+        es = [math.exp(s - m) for s in scores]
+        tot = sum(es)
+        a = [e / tot for e in es]
+        bag_rep = sum(ai * ri for ai, ri in zip(a, reps))
+        logits = W["fc_w"] @ bag_rep + W["fc_b"]
+        ls = _naive_log_softmax(logits)
+        w = 1.0 if class_weights is None else float(class_weights[label])
+        loss_wsum += -w * ls[label]
+        w_sum += w
+        preds.append(int(np.argmax(logits)))
+    return loss_wsum / w_sum, preds
+
+
+def naive_sentence_loss(rows, W, class_weights=None):
+    """Mean CE over per-sentence softmax logits (SentenceRE step)."""
+    loss_wsum = 0.0
+    w_sum = 0.0
+    preds = []
+    for token, pos1, pos2, label in rows:
+        rep = _naive_rep(token, pos1, pos2, W)
+        logits = W["fc_w"] @ rep + W["fc_b"]
+        ls = _naive_log_softmax(logits)
+        w = 1.0 if class_weights is None else float(class_weights[label])
+        loss_wsum += -w * ls[label]
+        w_sum += w
+        preds.append(int(np.argmax(logits)))
+    return loss_wsum / w_sum, preds
+
+
+def serial_train_bags(
+    bags_by_epoch_batch, W0, lr, weight_decay, class_weights=None
+):
+    """Run the EXACT schedule serially, one bag per kernel call.
+
+    bags_by_epoch_batch: list (per epoch) of lists (per step) of
+    (members, label) bags — the same assignment the distributed loop
+    used. Returns (weights, history) with the reference's AverageMeter
+    semantics (per-step batch means averaged over the epoch)."""
+    W = dict(W0)
+    history = []
+    for epoch_batches in bags_by_epoch_batch:
+        sums = {"loss": 0.0, "acc": 0.0, "pos_acc": 0.0}
+        n_steps = 0
+        for batch in epoch_batches:
+            if not batch:
+                continue
+            acc_g = None
+            loss_wsum = w_sum = 0.0
+            n_correct = n_pos = n_pos_correct = 0
+            for members, label in batch:
+                token = np.stack([m[0] for m in members])
+                pos1 = np.stack([m[1] for m in members])
+                pos2 = np.stack([m[2] for m in members])
+                lw, ws, nc, npos, npc, grads = gk.bag_att_train_batch(
+                    token, pos1, pos2,
+                    np.array([[0, len(members)]], dtype=np.int64),
+                    np.array([label], dtype=np.int64),
+                    W, class_weights=class_weights,
+                )
+                loss_wsum += lw
+                w_sum += ws
+                n_correct += nc
+                n_pos += npos
+                n_pos_correct += npc
+                g = gk.flatten_grads(grads)
+                acc_g = g if acc_g is None else acc_g + g
+            W = gk.sgd_step(
+                W, gk.unflatten_grads(acc_g / w_sum, W), lr, weight_decay
+            )
+            sums["loss"] += loss_wsum / w_sum
+            sums["acc"] += n_correct / len(batch)
+            sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
+            n_steps += 1
+        history.append(
+            {
+                "epoch": len(history),
+                "n_steps": n_steps,
+                "avg_loss": sums["loss"] / max(n_steps, 1),
+                "avg_acc": sums["acc"] / max(n_steps, 1),
+                "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
+            }
+        )
+    return W, history
+
+
+def serial_train_sentences(
+    rows_by_epoch_batch, W0, lr, weight_decay, class_weights=None
+):
+    """Sentence-model twin of serial_train_bags: one ROW per kernel
+    call, same schedule, same meters."""
+    W = dict(W0)
+    history = []
+    for epoch_batches in rows_by_epoch_batch:
+        sums = {"loss": 0.0, "acc": 0.0, "pos_acc": 0.0}
+        n_steps = 0
+        for batch in epoch_batches:
+            if not batch:
+                continue
+            acc_g = None
+            loss_wsum = w_sum = 0.0
+            n_correct = n_pos = n_pos_correct = 0
+            for token, pos1, pos2, label in batch:
+                lw, ws, nc, npos, npc, grads = gk.sentence_train_batch(
+                    token[None, :], pos1[None, :], pos2[None, :],
+                    np.array([label], dtype=np.int64),
+                    W, class_weights=class_weights,
+                )
+                loss_wsum += lw
+                w_sum += ws
+                n_correct += nc
+                n_pos += npos
+                n_pos_correct += npc
+                g = gk.flatten_grads(grads)
+                acc_g = g if acc_g is None else acc_g + g
+            W = gk.sgd_step(
+                W, gk.unflatten_grads(acc_g / w_sum, W), lr, weight_decay
+            )
+            sums["loss"] += loss_wsum / w_sum
+            sums["acc"] += n_correct / len(batch)
+            sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
+            n_steps += 1
+        history.append(
+            {
+                "epoch": len(history),
+                "n_steps": n_steps,
+                "avg_loss": sums["loss"] / max(n_steps, 1),
+                "avg_acc": sums["acc"] / max(n_steps, 1),
+                "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
+            }
+        )
+    return W, history
