@@ -76,6 +76,43 @@ def sgd_step(weights: dict, grads: dict, lr: float, weight_decay: float) -> dict
     return out
 
 
+def adam_init(weights: dict) -> dict:
+    """Fresh Adam state: first/second moments + step counter."""
+    return {
+        "t": 0,
+        "m": {k: np.zeros_like(weights[k], dtype=np.float64) for k in PARAM_KEYS},
+        "v": {k: np.zeros_like(weights[k], dtype=np.float64) for k in PARAM_KEYS},
+    }
+
+
+def adam_step(
+    weights: dict, grads: dict, state: dict, lr: float, weight_decay: float,
+    betas: tuple = (0.9, 0.999), eps: float = 1e-8,
+) -> dict:
+    """optim.Adam with coupled L2, torch semantics (bag_re.py:70-71
+    `optim.Adam(params, lr, weight_decay=weight_decay)`): g += wd*p;
+    m = b1*m + (1-b1)*g; v = b2*v + (1-b2)*g^2; bias-corrected
+    p -= lr * (m/(1-b1^t)) / (sqrt(v/(1-b2^t)) + eps). State (float64)
+    is mutated in place; a NEW weight dict is returned."""
+    b1, b2 = betas
+    state["t"] += 1
+    t = state["t"]
+    out = dict(weights)
+    for k in PARAM_KEYS:
+        p = weights[k].astype(np.float64)
+        g = grads[k] + weight_decay * p
+        m = state["m"][k]
+        v = state["v"][k]
+        m *= b1
+        m += (1 - b1) * g
+        v *= b2
+        v += (1 - b2) * g * g
+        mhat = m / (1 - b1**t)
+        vhat = v / (1 - b2**t)
+        out[k] = (p - lr * mhat / (np.sqrt(vhat) + eps)).astype(weights[k].dtype)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # encoder forward (train mode) + backward
 # ---------------------------------------------------------------------------

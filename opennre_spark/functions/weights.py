@@ -183,6 +183,30 @@ def load_state_dict_npz(
     return w
 
 
+def save_weights_npz(
+    weights: dict, path: str, rel2id: dict[str, int] | None = None
+) -> None:
+    """Checkpoint sink for TRAINED weights (the `torch.save({'state_dict':
+    ...})` best-checkpoint write, bag_re.py:146-149 / sentence_re.py:135-138):
+    writes the mapped-key .npz rendition that load_state_dict_npz accepts,
+    embedding the engine's rel2id (`__rel2id__`) so a reload can never
+    silently permute classifier rows across relation labels. Atomic
+    (tmp + rename) so a concurrent reader never sees a torn file."""
+    import json
+    import os
+
+    arrays = {k: np.asarray(weights[k]) for k in (
+        "word_emb", "pos1_emb", "pos2_emb", "conv_w", "conv_b",
+        "fc_w", "fc_b", "att_diag",
+    )}
+    if rel2id is not None:
+        arrays["__rel2id__"] = np.str_(json.dumps(rel2id))
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
 def default_model(pcnn: bool = False, schema: str = "reduced", ckpt: str | None = None):
     """(vocab, weights) for a named schema — cached so every
     executor/test builds it exactly once per process.

@@ -283,6 +283,105 @@ def _bag_partials(
     return run
 
 
+def make_optimizer(opt: str, weights: dict, lr: float, weight_decay: float):
+    """The reference's optimizer switch (bag_re.py:67-93, minus the
+    BERT-only AdamW branch — no BERT training path here): returns a
+    step(weights, grads) -> new weights closure. Raises on unknown
+    names exactly like the reference."""
+    if opt == "sgd":
+        return lambda w, g: gk.sgd_step(w, g, lr, weight_decay)
+    if opt == "adam":
+        state = gk.adam_init(weights)
+        return lambda w, g: gk.adam_step(w, g, state, lr, weight_decay)
+    raise ValueError("Invalid optimizer. Must be 'sgd' or 'adam'.")
+
+
+def evaluate_bag_model(
+    val_instances: DataFrame,
+    val_facts: DataFrame,
+    weights: dict,
+    schema: str = "reduced",
+    method: str = "att",
+    threshold: float = config.SCORE_THRESHOLD,
+    bag_cap: int = 0,
+    bag_size: int = 0,
+) -> dict:
+    """BagRE.eval_model with IN-MEMORY weights (bag_re.py:154-181 +
+    the per-epoch val call at 143-151): the weights are written to a
+    temporary .npz checkpoint and routed through the PRODUCTION eval
+    path (score_instances -> bag_scores_batched -> explode ->
+    metrics.bag_eval), so training-time validation exercises exactly
+    the code a later inference run will. Local mode shares the
+    filesystem; on a cluster the temp checkpoint must land on shared
+    storage (same contract as any ckpt= argument).
+
+    val_facts: gold (h_id, relation, t_id) rows. Returns the bag_eval
+    dict (auc, max_micro_f1, p@k, ...)."""
+    import os
+    import tempfile
+
+    from .. import relations
+    from ..functions.weights import save_weights_npz
+    from .bags import bag_scores_batched, explode_bag_scores
+    from .metrics import bag_eval
+    from .scoring import score_instances
+
+    rel2id = relations.rel2id_for(schema)
+    id2rel = {v: k for k, v in rel2id.items()}
+    fd, path = tempfile.mkstemp(suffix=".npz", prefix="spark_graft_val_")
+    os.close(fd)
+    try:
+        save_weights_npz(weights, path, rel2id=rel2id)
+        scored = score_instances(
+            val_instances,
+            with_rep=(method != "one"),
+            with_scores=(method == "one"),
+            schema=schema,
+            ckpt=path,
+        )
+        bags = bag_scores_batched(
+            scored, method=method, bag_cap=bag_cap, bag_size=bag_size,
+            schema=schema, ckpt=path,
+        )
+        preds = explode_bag_scores(bags, id2rel).select(
+            "h_id", "t_id", "relation", "score"
+        )
+        facts = val_facts.select("h_id", "t_id", "relation")
+        return bag_eval(preds, facts, threshold=threshold)
+    finally:
+        os.remove(path)
+
+
+def evaluate_sentence_acc(
+    val_instances: DataFrame, weights: dict, schema: str = "reduced"
+) -> float:
+    """SentenceRE.eval_model accuracy (sentence_re.py:142-161): argmax
+    prediction vs gold label over labeled val instances, through the
+    production scoring path with a temp checkpoint."""
+    import os
+    import tempfile
+
+    from .. import relations
+    from ..functions.weights import save_weights_npz
+    from .scoring import score_instances
+
+    rel2id = relations.rel2id_for(schema)
+    fd, path = tempfile.mkstemp(suffix=".npz", prefix="spark_graft_val_")
+    os.close(fd)
+    try:
+        save_weights_npz(weights, path, rel2id=rel2id)
+        scored = score_instances(val_instances, schema=schema, ckpt=path)
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("pred_rel_id") == F.col("label_id")).cast("long")
+            ).alias("ok"),
+        ).first()
+        return float(agg["ok"] or 0) / float(agg["n"]) if agg["n"] else 0.0
+    finally:
+        os.remove(path)
+
+
 def class_freq_weight_vector(encoded: DataFrame, n_rel: int) -> np.ndarray:
     """The BagRELoader loss_weight vector: per-INSTANCE label counts,
     w = 1 / count**0.05 (data_loader.py:176-178)."""
@@ -302,22 +401,36 @@ def train_bag_attention(
     batch_size: int = 160,
     lr: float = 0.1,
     weight_decay: float = 1e-5,
+    opt: str = "sgd",
     loss_weight: bool = False,
     bag_cap: int = 0,
     bag_size: int = 0,
     dropout: float = 0.0,
     seed: int = 42,
     init_weights: dict | None = None,
+    val_instances: DataFrame | None = None,
+    val_facts: DataFrame | None = None,
+    ckpt: str | None = None,
+    metric: str = "auc",
 ) -> tuple[dict, list[dict]]:
     """BagRE.train_model (bag_re.py:100-152) as synchronous distributed
     SGD. `instances` are labeled rows (text, spans, h_id, t_id,
     label_id, stable-order cols) — see distant_supervision_instances.
 
     Defaults mirror the reference (batch_size... bag_re.py:16-21 uses 32;
-    the published example scripts use 160; lr=0.1, wd=1e-5, opt='sgd').
-    dropout=0 is the deterministic parity surface (reference default is
-    p=0.5 with torch's RNG stream — not reproducible here; dropout>0
-    uses a numpy Generator seeded per (seed, epoch, step)).
+    the published example scripts use 160; lr=0.1, wd=1e-5, opt='sgd';
+    'adam' = torch optim.Adam semantics). dropout=0 is the deterministic
+    parity surface (reference default is p=0.5 with torch's RNG stream —
+    not reproducible here; dropout>0 uses a numpy Generator seeded per
+    (seed, epoch, step)).
+
+    val_instances + val_facts: per-epoch validation through the
+    PRODUCTION eval path (bag_re.py:143-151) — the epoch's bag_eval
+    `metric` (default AUC) lands in the history row as `val_<metric>`,
+    and when `ckpt` is given the best epoch's weights are saved as a
+    loadable .npz checkpoint (the torch.save best-checkpoint semantics,
+    bag_re.py:146-149). With `ckpt` but no val set, the final weights
+    are saved.
 
     Returns (trained weight dict, per-epoch metric rows with the same
     AverageMeter semantics as the reference's progress bar: per-step
@@ -341,6 +454,8 @@ def train_bag_attention(
         if loss_weight
         else None
     )
+    step_fn = make_optimizer(opt, weights, lr, weight_decay)
+    best_metric = None
     sort_cols = [c for c in _SORT_COLS if c in instances.columns]
     n_batches = max(1, math.ceil(n_bags / batch_size))
     history: list[dict] = []
@@ -378,22 +493,39 @@ def train_bag_attention(
                 [np.asarray(r["grad"], dtype=np.float64) for r in partials],
                 axis=0,
             ) / w_sum
-            weights = gk.sgd_step(
-                weights, gk.unflatten_grads(gvec, weights), lr, weight_decay
-            )
+            weights = step_fn(weights, gk.unflatten_grads(gvec, weights))
             sums["loss"] += loss_wsum / w_sum
             sums["acc"] += n_correct / n
             sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
             n_steps += 1
-        history.append(
-            {
-                "epoch": epoch,
-                "n_steps": n_steps,
-                "avg_loss": sums["loss"] / max(n_steps, 1),
-                "avg_acc": sums["acc"] / max(n_steps, 1),
-                "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
-            }
-        )
+        row = {
+            "epoch": epoch,
+            "n_steps": n_steps,
+            "avg_loss": sums["loss"] / max(n_steps, 1),
+            "avg_acc": sums["acc"] / max(n_steps, 1),
+            "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
+        }
+        if val_instances is not None and val_facts is not None:
+            res = evaluate_bag_model(
+                val_instances, val_facts, weights, schema=schema,
+                bag_cap=bag_cap, bag_size=bag_size,
+            )
+            row[f"val_{metric}"] = float(res[metric])
+            if best_metric is None or res[metric] > best_metric:
+                best_metric = float(res[metric])
+                if ckpt is not None:
+                    from .. import relations
+                    from ..functions.weights import save_weights_npz
+
+                    save_weights_npz(
+                        weights, ckpt, rel2id=relations.rel2id_for(schema)
+                    )
+        history.append(row)
+    if ckpt is not None and val_instances is None:
+        from .. import relations
+        from ..functions.weights import save_weights_npz
+
+        save_weights_npz(weights, ckpt, rel2id=relations.rel2id_for(schema))
     return weights, history
 
 
@@ -447,15 +579,20 @@ def train_sentence_model(
     batch_size: int = 512,
     lr: float = 0.1,
     weight_decay: float = 1e-5,
+    opt: str = "sgd",
     loss_weight: bool = False,
     dropout: float = 0.0,
     seed: int = 42,
     init_weights: dict | None = None,
+    val_instances: DataFrame | None = None,
+    ckpt: str | None = None,
 ) -> tuple[dict, list[dict]]:
     """SentenceRE.train_model (sentence_re.py:96-139): per-sentence CE
     over the softmax classifier, same distributed step shape as
     train_bag_attention but batching INSTANCES (the reference's
-    SentenceRELoader batches sentences, not bags)."""
+    SentenceRELoader batches sentences, not bags). val_instances adds
+    per-epoch accuracy validation (metric='acc', sentence_re.py:128-138)
+    with best-checkpoint save when `ckpt` is given."""
     spark = instances.sparkSession
     if init_weights is None:
         from ..functions.weights import default_model
@@ -473,6 +610,8 @@ def train_sentence_model(
         if loss_weight
         else None
     )
+    step_fn = make_optimizer(opt, weights, lr, weight_decay)
+    best_metric = None
     sort_cols = [c for c in _SORT_COLS if c in encoded.columns]
     n_batches = max(1, math.ceil(n_inst / batch_size))
     history: list[dict] = []
@@ -510,20 +649,34 @@ def train_sentence_model(
                 [np.asarray(r["grad"], dtype=np.float64) for r in partials],
                 axis=0,
             ) / w_sum
-            weights = gk.sgd_step(
-                weights, gk.unflatten_grads(gvec, weights), lr, weight_decay
-            )
+            weights = step_fn(weights, gk.unflatten_grads(gvec, weights))
             sums["loss"] += loss_wsum / w_sum
             sums["acc"] += n_correct / n
             sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
             n_steps += 1
-        history.append(
-            {
-                "epoch": epoch,
-                "n_steps": n_steps,
-                "avg_loss": sums["loss"] / max(n_steps, 1),
-                "avg_acc": sums["acc"] / max(n_steps, 1),
-                "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
-            }
-        )
+        row = {
+            "epoch": epoch,
+            "n_steps": n_steps,
+            "avg_loss": sums["loss"] / max(n_steps, 1),
+            "avg_acc": sums["acc"] / max(n_steps, 1),
+            "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
+        }
+        if val_instances is not None:
+            acc = evaluate_sentence_acc(val_instances, weights, schema=schema)
+            row["val_acc"] = acc
+            if best_metric is None or acc > best_metric:
+                best_metric = acc
+                if ckpt is not None:
+                    from .. import relations
+                    from ..functions.weights import save_weights_npz
+
+                    save_weights_npz(
+                        weights, ckpt, rel2id=relations.rel2id_for(schema)
+                    )
+        history.append(row)
+    if ckpt is not None and val_instances is None:
+        from .. import relations
+        from ..functions.weights import save_weights_npz
+
+        save_weights_npz(weights, ckpt, rel2id=relations.rel2id_for(schema))
     return weights, history

@@ -90,8 +90,16 @@ def naive_sentence_loss(rows, W, class_weights=None):
     return loss_wsum / w_sum, preds
 
 
+def _serial_step(W, acc_g, w_sum, lr, weight_decay, opt, opt_state):
+    g = gk.unflatten_grads(acc_g / w_sum, W)
+    if opt == "adam":
+        return gk.adam_step(W, g, opt_state, lr, weight_decay)
+    return gk.sgd_step(W, g, lr, weight_decay)
+
+
 def serial_train_bags(
-    bags_by_epoch_batch, W0, lr, weight_decay, class_weights=None
+    bags_by_epoch_batch, W0, lr, weight_decay, class_weights=None,
+    opt="sgd",
 ):
     """Run the EXACT schedule serially, one bag per kernel call.
 
@@ -100,6 +108,7 @@ def serial_train_bags(
     used. Returns (weights, history) with the reference's AverageMeter
     semantics (per-step batch means averaged over the epoch)."""
     W = dict(W0)
+    opt_state = gk.adam_init(W) if opt == "adam" else None
     history = []
     for epoch_batches in bags_by_epoch_batch:
         sums = {"loss": 0.0, "acc": 0.0, "pos_acc": 0.0}
@@ -127,9 +136,7 @@ def serial_train_bags(
                 n_pos_correct += npc
                 g = gk.flatten_grads(grads)
                 acc_g = g if acc_g is None else acc_g + g
-            W = gk.sgd_step(
-                W, gk.unflatten_grads(acc_g / w_sum, W), lr, weight_decay
-            )
+            W = _serial_step(W, acc_g, w_sum, lr, weight_decay, opt, opt_state)
             sums["loss"] += loss_wsum / w_sum
             sums["acc"] += n_correct / len(batch)
             sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
