@@ -175,6 +175,85 @@ def minhash_dedup(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join (id_a, id_b, jaccard >= t)
+    via prefix filtering — the deterministic complement to the
+    probabilistic MinHash path (no false negatives at any threshold).
+
+    Prefix-filter principle (SSJoin/PPJoin family): order every
+    document's shingles by ascending global document frequency (rarest
+    first, ties by shingle value); if J(A, B) >= t then A and B must
+    share at least one shingle within the first |d| - ceil(t*|d|) + 1
+    shingles of EACH side under that common order. So the candidate
+    join runs only over the prefix inverted index — rare shingles —
+    instead of every shingle, and common boilerplate shingles (the skew
+    keys of a naive inverted-index join) never enter the pair join
+    unless they land in some document's prefix.
+
+    Exchange discipline matches minhash_dup_pairs: the prefix join
+    carries only (id, shingle); candidates dedup to distinct ID pairs;
+    the shingle arrays join back once per side for exact verification.
+
+    Shapes at 100 TB: df(shingle) is one map-side-combined count agg;
+    the per-document row_number window partitions by doc (bounded
+    groups, no skew); prefix size shrinks as t grows (t=0.9 indexes
+    ~10% of each doc).
+    """
+    from pyspark.sql import Window
+
+    sh_tbl = docs.select(
+        F.col(id_col), _token_shingles(text_col, shingle_n).alias("__sh")
+    )
+    tok = sh_tbl.select(
+        F.col(id_col), F.size("__sh").alias("__sz"),
+        F.explode("__sh").alias("__s"),
+    )
+    dfreq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "__s")
+    prefix = (
+        tok.join(dfreq, "__s")
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(
+            F.col("__rnk")
+            <= F.col("__sz") - F.ceil(F.lit(jaccard_threshold) * F.col("__sz")) + 1
+        )
+        .select(id_col, "__s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        sh_tbl.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh_tbl.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
+        "id_b",
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return cand.select("id_a", "id_b", jac).filter(
+        F.col("jaccard") >= F.lit(jaccard_threshold)
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens, entirely in Spark SQL
     higher-order functions: per-token xxhash64 -> per-bit +/-1 votes ->

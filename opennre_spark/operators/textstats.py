@@ -129,6 +129,78 @@ def fingerprint_md5(text_col: Column) -> Column:
     return F.md5(F.concat_ws(" ", _tokens(text_col)))
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+    base: int = 257,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprinting
+    scheme: Schleimer/Wilkerson/Aiken, SIGMOD'03): polynomial rolling
+    hashes over character k-grams of the normalized text, then the
+    minimum hash of every sliding window of `window` consecutive grams,
+    deduplicated — a content-overlap sketch that is robust to
+    insertions/reordering where a whole-document hash is not.
+
+    Everything is JVM-side higher-order functions over one normalized
+    string column — whole-stage codegen, no shuffle, no Python. The
+    polynomial hash is exact 64-bit arithmetic (max code 122 with
+    base 257, k=4 -> < 2^32), so the identical expression is evaluable
+    in DuckDB for the oracle.
+
+    Normalization: lowercase, strip everything outside [a-z0-9 ],
+    collapse runs of spaces, trim. Documents shorter than k characters
+    produce no fingerprints; documents with fewer than `window` grams
+    produce exactly one (the global minimum) — the standard winnowing
+    boundary rules.
+
+    Returns (id_col, fp long), one row per distinct fingerprint.
+    """
+    t = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    empty = F.array().cast("array<bigint>")
+    staged = docs.select(F.col(id_col), t.alias("__t")).select(
+        id_col, "__t", F.length("__t").alias("__L")
+    )
+    codes = F.transform(
+        F.sequence(F.lit(1), F.col("__L")),
+        lambda i: F.ascii(F.col("__t").substr(i, F.lit(1))).cast("long"),
+    )
+    staged = staged.withColumn(
+        "__codes", F.when(F.col("__L") >= k, codes).otherwise(empty)
+    )
+
+    def gram_at(p):
+        e = F.lit(0).cast("long")
+        for i in range(k):
+            e = e * base + F.element_at(F.col("__codes"), (p + i).cast("int"))
+        return e
+
+    grams = F.transform(F.sequence(F.lit(1), F.col("__L") - k + 1), gram_at)
+    staged = staged.withColumn(
+        "__grams", F.when(F.col("__L") >= k, grams).otherwise(empty)
+    ).withColumn("__G", F.size("__grams"))
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("__G") - window + 1),
+            lambda i: F.array_min(F.slice(F.col("__grams"), i, window)),
+        )
+    )
+    fps = (
+        F.when(F.col("__G") >= window, wins)
+        .when(F.col("__G") >= 1, F.array(F.array_min("__grams")))
+        .otherwise(empty)
+    )
+    return staged.select(id_col, F.explode(fps).alias("fp"))
+
+
 def document_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass per-document stat table."""
     t = F.col(text_col)

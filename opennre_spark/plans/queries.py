@@ -571,6 +571,30 @@ def _q_minhash_dedup(spark, sf_dir):
     return minhash_dedup(_docs_dup_view(spark, sf_dir), **_MINHASH_ORACLE_KW)
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints; the DuckDB oracle
+    evaluates the SAME exact 64-bit polynomial + window-min pipeline
+    as list comprehensions, so values must agree bit-for-bit."""
+    from ..operators.textstats import winnow_fingerprints
+
+    _reg(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    return winnow_fingerprints(docs)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """EXACT prefix-filtered n-gram Jaccard join vs the same
+    brute-force truth the MinHash path is checked against — unlike
+    MinHash this has no false negatives by construction, so the hash
+    match is exact-set equality, not a recall statement."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs_dup_view(spark, sf_dir), jaccard_threshold=0.6, shingle_n=3
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_simhash(spark, sf_dir):
     from ..operators.dedup import simhash
 
@@ -898,6 +922,47 @@ _EXTRA_ORACLES: dict[str, str] = {
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard
     FROM exact_pairs WHERE jaccard >= 0.6
     """,
+    # the same truth checks the EXACT prefix-filtered join (which must
+    # equal it as a set — no probabilistic recall caveat)
+    "dedup_ngram_jaccard": f"""
+    WITH {_DUCK_SHINGLE_PAIRS}
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM exact_pairs WHERE jaccard >= 0.6
+    """,
+    # winnowing fingerprints: the identical exact-integer polynomial
+    # rolling hash + window-min, as DuckDB list comprehensions
+    # (k=4, window=4, base=257 -> 257^2=66049, 257^3=16974593)
+    "text_winnow_fingerprints": """
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, length(t) AS L,
+             [CAST(ord(t[i]) AS BIGINT) for i in generate_series(1, length(t))] AS cd
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN L >= 4 THEN
+               [cd[p]*16974593 + cd[p+1]*66049 + cd[p+2]*257 + cd[p+3]
+                for p in generate_series(1, L - 3)]
+             ELSE CAST([] AS BIGINT[]) END AS gr
+      FROM c
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(gr) >= 4 THEN
+               list_distinct([list_min(gr[i:i+3])
+                              for i in generate_series(1, len(gr) - 3)])
+             WHEN len(gr) >= 1 THEN [list_min(gr)]
+             ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w
+    """,
     # cluster truth: connected components over the exact pairs via a
     # recursive min-label propagation (terminates: UNION dedups states)
     "dedup_minhash_lsh": f"""
@@ -1103,6 +1168,8 @@ def queries() -> dict:
     out["kg_triples_canonical"] = _kg_canonical
     out["dedup_minhash_lsh"] = _q_minhash_dedup
     out["dedup_minhash_pairs"] = _q_minhash_pairs
+    out["dedup_ngram_jaccard"] = _q_ngram_jaccard
+    out["text_winnow_fingerprints"] = _q_winnow_fingerprints
     out["dedup_simhash"] = _q_simhash
     out["dedup_simhash_pairs"] = _q_simhash_pairs
     out["ann_lsh_self_join"] = _q_ann_self_join

@@ -195,3 +195,81 @@ def test_ivf_topk_recall(spark):
     full = [r.vec_id for r in similarity.ivf_topk(assigned, cent, q, k=10, nprobe=6).collect()]
     assert full == exact
     df.unpersist(); assigned.unpersist()
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark, docs):
+    """The prefix-filtered join must return EXACTLY the brute-force
+    all-pairs Jaccard result — no false negatives at any threshold
+    (PPJoin prefix lemma), no false positives (exact verification)."""
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    for thr in (0.5, 0.8):
+        got = {
+            (p.id_a, p.id_b): p.jaccard
+            for p in dedup.ngram_jaccard_pairs(
+                docs, jaccard_threshold=thr
+            ).collect()
+        }
+        want = {}
+        ids = sorted(texts)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                sa, sb = shingles(texts[a]), shingles(texts[b])
+                j = len(sa & sb) / len(sa | sb)
+                if j >= thr:
+                    want[(a, b)] = j
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_winnow_fingerprints_python_parity(spark, docs):
+    """Spark winnowing == a pure-python reimplementation (normalize ->
+    k-gram polynomial hash -> window min -> distinct)."""
+    import re
+
+    k, w, B = 4, 4, 257
+
+    def py_winnow(text):
+        t = re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", text.lower())).strip()
+        if len(t) < k:
+            return set()
+        grams = []
+        for p in range(len(t) - k + 1):
+            h = 0
+            for ch in t[p : p + k]:
+                h = h * B + ord(ch)
+            grams.append(h)
+        if len(grams) < w:
+            return {min(grams)}
+        return {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+
+    out = textstats.winnow_fingerprints(docs).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for did, text in texts.items():
+        want = py_winnow(text)
+        assert got.get(did, set()) == want, f"doc {did}"
+
+
+def test_winnow_fingerprints_detect_overlap(spark):
+    """A document sharing a long span with another shares fingerprints;
+    an unrelated one does not — the property winnowing exists for."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    reordered = "completely different preamble text " + base
+    other = "unrelated content with no common phrases at all whatsoever"
+    df = spark.createDataFrame(
+        [(1, base), (2, reordered), (3, other)], "doc_id long, text string"
+    )
+    rows = textstats.winnow_fingerprints(df).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert len(fps[1] & fps[2]) > 0
+    assert len(fps[1] & fps[3]) == 0
