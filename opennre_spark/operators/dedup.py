@@ -181,10 +181,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     jaccard_threshold: float = 0.6,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join (id_a, id_b, jaccard >= t)
     via prefix filtering — the deterministic complement to the
     probabilistic MinHash path (no false negatives at any threshold).
+
+    materialize=True localCheckpoints the slim prefix and shingle
+    tables before the self-join: Catalyst plans the two sides of a
+    self-join as independent subtrees, so without it the whole
+    tokenize -> df-count -> rank lineage executes twice (2x compute,
+    not 2x exchange volume — the checkpoint trades one slim disk
+    materialization for that recompute; same results either way).
 
     Prefix-filter principle (SSJoin/PPJoin family): order every
     document's shingles by ascending global document frequency (rarest
@@ -225,6 +233,9 @@ def ngram_jaccard_pairs(
         )
         .select(id_col, "__s")
     )
+    if materialize:
+        prefix = prefix.localCheckpoint(eager=True)
+        sh_tbl = sh_tbl.localCheckpoint(eager=True)
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(

@@ -285,15 +285,89 @@ def _bag_partials(
 
 def make_optimizer(opt: str, weights: dict, lr: float, weight_decay: float):
     """The reference's optimizer switch (bag_re.py:67-93, minus the
-    BERT-only AdamW branch — no BERT training path here): returns a
-    step(weights, grads) -> new weights closure. Raises on unknown
-    names exactly like the reference."""
+    BERT-only AdamW branch — no BERT training path here): returns
+    (step(weights, grads) -> new weights, state-or-None). Raises on
+    unknown names exactly like the reference."""
     if opt == "sgd":
-        return lambda w, g: gk.sgd_step(w, g, lr, weight_decay)
+        return (lambda w, g: gk.sgd_step(w, g, lr, weight_decay)), None
     if opt == "adam":
         state = gk.adam_init(weights)
-        return lambda w, g: gk.adam_step(w, g, state, lr, weight_decay)
+        return (lambda w, g: gk.adam_step(w, g, state, lr, weight_decay)), state
     raise ValueError("Invalid optimizer. Must be 'sgd' or 'adam'.")
+
+
+# --- training resumability (the S6 checkpoint/resume semantics applied
+# to the train loop: lineage.py's write-manifest-then-resume pattern) ---
+
+def _save_train_epoch(resume_dir: str, epoch: int, weights: dict,
+                      opt_state: dict | None, row: dict, schema: str) -> None:
+    """Persist a completed epoch: weights as a loadable .npz checkpoint,
+    optimizer moments when present, and an epoch manifest written LAST
+    via atomic rename — a torn run never leaves a manifest without its
+    arrays, so resume only ever sees complete epochs."""
+    import json
+    import os
+
+    from .. import relations
+    from ..functions.weights import save_weights_npz
+
+    os.makedirs(resume_dir, exist_ok=True)
+    save_weights_npz(
+        weights, os.path.join(resume_dir, f"weights_{epoch}.npz"),
+        rel2id=relations.rel2id_for(schema),
+    )
+    if opt_state is not None:
+        arrays = {f"m__{k}": opt_state["m"][k] for k in gk.PARAM_KEYS}
+        arrays.update({f"v__{k}": opt_state["v"][k] for k in gk.PARAM_KEYS})
+        arrays["t"] = np.int64(opt_state["t"])
+        tmp = os.path.join(resume_dir, f".opt_{epoch}.tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, os.path.join(resume_dir, f"opt_{epoch}.npz"))
+    tmp = os.path.join(resume_dir, f".epoch_{epoch}.tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(row, f)
+    os.replace(tmp, os.path.join(resume_dir, f"epoch_{epoch}.json"))
+
+
+def _load_train_state(resume_dir: str, schema: str):
+    """(next_epoch, weights-or-None, opt_state-or-None, history rows) —
+    resumes from the highest complete epoch manifest."""
+    import json
+    import os
+    import re
+
+    from ..functions.weights import load_state_dict_npz
+    from .. import relations
+
+    if not os.path.isdir(resume_dir):
+        return 0, None, None, []
+    done = sorted(
+        int(m.group(1))
+        for f in os.listdir(resume_dir)
+        if (m := re.fullmatch(r"epoch_(\d+)\.json", f))
+    )
+    if not done:
+        return 0, None, None, []
+    history = []
+    for e in done:
+        with open(os.path.join(resume_dir, f"epoch_{e}.json")) as f:
+            history.append(json.load(f))
+    last = done[-1]
+    weights = load_state_dict_npz(
+        os.path.join(resume_dir, f"weights_{last}.npz"),
+        rel2id=relations.rel2id_for(schema),
+    )
+    opt_state = None
+    opt_path = os.path.join(resume_dir, f"opt_{last}.npz")
+    if os.path.exists(opt_path):
+        raw = dict(np.load(opt_path))
+        opt_state = {
+            "t": int(raw["t"]),
+            "m": {k: raw[f"m__{k}"] for k in gk.PARAM_KEYS},
+            "v": {k: raw[f"v__{k}"] for k in gk.PARAM_KEYS},
+        }
+    return last + 1, weights, opt_state, history
 
 
 def evaluate_bag_model(
@@ -412,6 +486,7 @@ def train_bag_attention(
     val_facts: DataFrame | None = None,
     ckpt: str | None = None,
     metric: str = "auc",
+    resume_dir: str | None = None,
 ) -> tuple[dict, list[dict]]:
     """BagRE.train_model (bag_re.py:100-152) as synchronous distributed
     SGD. `instances` are labeled rows (text, spans, h_id, t_id,
@@ -431,6 +506,12 @@ def train_bag_attention(
     loadable .npz checkpoint (the torch.save best-checkpoint semantics,
     bag_re.py:146-149). With `ckpt` but no val set, the final weights
     are saved.
+
+    resume_dir: persist every completed epoch (weights + optimizer
+    moments + manifest, atomically) and resume a killed run from the
+    last complete epoch. The batch schedule is a pure function of
+    (seed, epoch), so a resumed run replays the identical remaining
+    steps — a staged run equals an uninterrupted one (pytest-checked).
 
     Returns (trained weight dict, per-epoch metric rows with the same
     AverageMeter semantics as the reference's progress bar: per-step
@@ -454,13 +535,26 @@ def train_bag_attention(
         if loss_weight
         else None
     )
-    step_fn = make_optimizer(opt, weights, lr, weight_decay)
+    step_fn, opt_state = make_optimizer(opt, weights, lr, weight_decay)
     best_metric = None
+    start_epoch = 0
+    history: list[dict] = []
+    if resume_dir is not None:
+        start_epoch, w_res, opt_res, history = _load_train_state(
+            resume_dir, schema
+        )
+        if w_res is not None:
+            weights = {k: w_res[k] for k in gk.PARAM_KEYS}
+        if opt_res is not None and opt_state is not None:
+            opt_state.update(opt_res)
+        if val_instances is not None and history:
+            best = [h.get(f"val_{metric}") for h in history
+                    if h.get(f"val_{metric}") is not None]
+            best_metric = max(best) if best else None
     sort_cols = [c for c in _SORT_COLS if c in instances.columns]
     n_batches = max(1, math.ceil(n_bags / batch_size))
-    history: list[dict] = []
     sc = spark.sparkContext
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         with_batch = bags.withColumn(
             "__batch", epoch_batch_col(epoch, n_batches, seed)
         )
@@ -521,6 +615,8 @@ def train_bag_attention(
                         weights, ckpt, rel2id=relations.rel2id_for(schema)
                     )
         history.append(row)
+        if resume_dir is not None:
+            _save_train_epoch(resume_dir, epoch, weights, opt_state, row, schema)
     if ckpt is not None and val_instances is None:
         from .. import relations
         from ..functions.weights import save_weights_npz
@@ -610,7 +706,7 @@ def train_sentence_model(
         if loss_weight
         else None
     )
-    step_fn = make_optimizer(opt, weights, lr, weight_decay)
+    step_fn, _opt_state = make_optimizer(opt, weights, lr, weight_decay)
     best_metric = None
     sort_cols = [c for c in _SORT_COLS if c in encoded.columns]
     n_batches = max(1, math.ceil(n_inst / batch_size))

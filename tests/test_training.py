@@ -473,6 +473,38 @@ def test_sentence_val_acc_and_ckpt(spark, tmp_path):
     assert math.isclose(acc, max(vals), rel_tol=1e-12)
 
 
+def test_training_resume_equals_uninterrupted(spark, tmp_path):
+    """Kill-and-resume parity: epoch checkpoints + deterministic
+    (seed, epoch) batch schedule mean a staged run (1 epoch, then
+    resume for 2 more) produces the same weights and history as an
+    uninterrupted 3-epoch run — for BOTH optimizers (adam carries its
+    moments across the restart)."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import train_bag_attention
+
+    inst = _labeled_instances(spark, n=24)
+    _, W0 = default_model(schema="reduced")
+    for opt, lr in (("sgd", 0.3), ("adam", 0.01)):
+        kw = dict(
+            batch_size=8, lr=lr, weight_decay=1e-4, seed=21,
+            init_weights=W0, opt=opt,
+        )
+        W_full, hist_full = train_bag_attention(inst, epochs=3, **kw)
+        rdir = str(tmp_path / f"resume_{opt}")
+        train_bag_attention(inst, epochs=1, resume_dir=rdir, **kw)
+        W_res, hist_res = train_bag_attention(
+            inst, epochs=3, resume_dir=rdir, **kw
+        )
+        assert len(hist_res) == len(hist_full) == 3
+        for hf, hr in zip(hist_full, hist_res):
+            assert math.isclose(hf["avg_loss"], hr["avg_loss"], rel_tol=1e-9)
+        for k in gk.PARAM_KEYS:
+            np.testing.assert_allclose(
+                W_res[k], W_full[k], rtol=0, atol=1e-6,
+                err_msg=f"{opt}: param {k} diverged across resume",
+            )
+
+
 def test_bag_training_improves_and_changes_decisions(spark):
     from opennre_spark.functions.weights import default_model
     from opennre_spark.operators.training import train_bag_attention
