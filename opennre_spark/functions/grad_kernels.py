@@ -64,6 +64,25 @@ def unflatten_grads(vec: np.ndarray, weights: dict) -> dict:
     return out
 
 
+def split_word_grad(flat: np.ndarray, weights: dict):
+    """Split one flattened gradient vector into (word_idx, word_vals,
+    rest) for sparse TRANSPORT of the word-embedding block: a batch only
+    touches the vocabulary rows its tokens index, so shipping (touched
+    row ids, their rows) instead of the dense (V, wsz) block bounds the
+    per-partial wire cost by the batch's distinct tokens, not the
+    vocabulary (at a real 400k-row vocab the dense block is ~160 MB of
+    float64 per partial — the sparse rendition is a few hundred rows).
+    Kernel-side accumulation stays DENSE, mirroring torch's default
+    nn.Embedding dense grads — only the wire format changes, and
+    word_idx rows are unique within a partial so the driver's
+    scatter-add reconstructs the dense sum exactly."""
+    n_we = weights["word_emb"].size
+    wsz = weights["word_emb"].shape[1]
+    word = flat[:n_we].reshape(-1, wsz)
+    touched = np.nonzero(np.any(word != 0.0, axis=1))[0]
+    return touched, word[touched].ravel(), flat[n_we:]
+
+
 def sgd_step(weights: dict, grads: dict, lr: float, weight_decay: float) -> dict:
     """optim.SGD with coupled L2 (torch: d_p = g + wd*p; p -= lr*d_p).
     Returns a NEW weight dict (old arrays untouched — executors may

@@ -25,16 +25,16 @@ deterministic under any partitioning, no global sort/window at scale;
 batch sizes are Poisson(batch_size) rather than exactly fixed
 (documented delta, same expectation; SURVEY.md §7 determinism contract).
 
-Scale notes (100 TB): the gradient vector is the MODEL size (~52k
-params at the reduced schema; ~15M at wiki80_cnn full config — a few
-MB as float64), independent of corpus size; one partial row per
-partition crosses the wire per step, so a step costs one scan of the
-(cached, columnar) batch + a driver-side reduce of n_partitions
-vectors. At thousands of partitions swap the driver reduce for a
-two-level combine (groupBy(part_id % K) zip_with-sum, then driver);
-word-embedding gradients are dense here — at a real 400k-row vocab
-emit (touched-row indices, values) pairs instead. Both are documented
-extension points, not semantic changes.
+Scale notes (100 TB): the gradient partial is MODEL-sized, independent
+of corpus size, and one row per partition crosses the wire per step —
+a step costs one scan of the (cached, columnar) batch + a driver
+reduce. The word-embedding block — the part that grows with vocabulary
+(~160 MB of float64 at a 400k-row vocab) — is SPARSE on the wire:
+partials ship (touched-row ids, rows) and the driver scatter-adds
+(gk.split_word_grad; kernel-side accumulation stays dense, mirroring
+torch's default dense nn.Embedding grads). Remaining extension point
+for thousands of partitions: a two-level combine (groupBy(part_id % K)
+zip_with-sum before the driver) — a plan change, not a semantic one.
 """
 
 from __future__ import annotations
@@ -55,8 +55,32 @@ from .mentions import detect_mentions
 
 _PARTIAL_SCHEMA = (
     "loss_wsum double, w_sum double, n double, n_correct double, "
-    "n_pos double, n_pos_correct double, grad array<double>"
+    "n_pos double, n_pos_correct double, grad array<double>, "
+    "word_idx array<bigint>, word_grad array<double>"
 )
+
+
+def _reduce_partials(partials, weights):
+    """Driver-side reduce of per-partition gradient partials: dense sum
+    of the non-embedding block, scatter-add of the sparse-transported
+    word-embedding rows (gk.split_word_grad). Returns (stats dict,
+    flattened full gradient SUM)."""
+    stats = {
+        k: sum(r[k] for r in partials)
+        for k in ("loss_wsum", "w_sum", "n", "n_correct", "n_pos",
+                  "n_pos_correct")
+    }
+    rest = None
+    word = np.zeros(weights["word_emb"].shape, dtype=np.float64)
+    for r in partials:
+        g = np.asarray(r["grad"], dtype=np.float64)
+        rest = g if rest is None else rest + g
+        idx = np.asarray(r["word_idx"], dtype=np.int64)
+        if idx.size:
+            word[idx] += np.asarray(
+                r["word_grad"], dtype=np.float64
+            ).reshape(idx.size, -1)
+    return stats, np.concatenate([word.ravel(), rest])
 
 # sentences per kernel invocation inside a partial — bounds the
 # (B, L, H) conv map + im2col cache exactly like EVAL_MICRO_BATCH
@@ -272,11 +296,13 @@ def _bag_partials(
                     tok_list, scope_list, labels, n_sents = [], [], [], 0
         flush(tok_list, scope_list, labels)
         if acc is not None:
+            widx, wvals, rest = gk.split_word_grad(acc, weights)
             yield pd.DataFrame(
                 {
                     "loss_wsum": [loss_wsum], "w_sum": [w_sum], "n": [n],
                     "n_correct": [n_correct], "n_pos": [n_pos],
-                    "n_pos_correct": [n_pos_correct], "grad": [acc],
+                    "n_pos_correct": [n_pos_correct], "grad": [rest],
+                    "word_idx": [widx], "word_grad": [wvals],
                 }
             )
 
@@ -577,20 +603,14 @@ def train_bag_attention(
             weights_bc.destroy()
             if not partials:
                 continue  # hash-mod batch came up empty this epoch
-            loss_wsum = sum(r["loss_wsum"] for r in partials)
-            w_sum = sum(r["w_sum"] for r in partials)
-            n = sum(r["n"] for r in partials)
-            n_correct = sum(r["n_correct"] for r in partials)
-            n_pos = sum(r["n_pos"] for r in partials)
-            n_pos_correct = sum(r["n_pos_correct"] for r in partials)
-            gvec = np.sum(
-                [np.asarray(r["grad"], dtype=np.float64) for r in partials],
-                axis=0,
-            ) / w_sum
-            weights = step_fn(weights, gk.unflatten_grads(gvec, weights))
-            sums["loss"] += loss_wsum / w_sum
-            sums["acc"] += n_correct / n
-            sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
+            st, gsum = _reduce_partials(partials, weights)
+            w_sum = st["w_sum"]
+            weights = step_fn(weights, gk.unflatten_grads(gsum / w_sum, weights))
+            sums["loss"] += st["loss_wsum"] / w_sum
+            sums["acc"] += st["n_correct"] / st["n"]
+            sums["pos_acc"] += (
+                (st["n_pos_correct"] / st["n_pos"]) if st["n_pos"] > 0 else 0.0
+            )
             n_steps += 1
         row = {
             "epoch": epoch,
@@ -657,11 +677,13 @@ def _sentence_partials(weights_bc, class_weights, dropout_p: float,
                 g = gk.flatten_grads(grads)
                 acc = g if acc is None else acc + g
         if acc is not None:
+            widx, wvals, rest = gk.split_word_grad(acc, weights)
             yield pd.DataFrame(
                 {
                     "loss_wsum": [loss_wsum], "w_sum": [w_sum], "n": [n],
                     "n_correct": [n_correct], "n_pos": [n_pos],
-                    "n_pos_correct": [n_pos_correct], "grad": [acc],
+                    "n_pos_correct": [n_pos_correct], "grad": [rest],
+                    "word_idx": [widx], "word_grad": [wvals],
                 }
             )
 
@@ -735,20 +757,14 @@ def train_sentence_model(
             weights_bc.destroy()
             if not partials:
                 continue
-            loss_wsum = sum(r["loss_wsum"] for r in partials)
-            w_sum = sum(r["w_sum"] for r in partials)
-            n = sum(r["n"] for r in partials)
-            n_correct = sum(r["n_correct"] for r in partials)
-            n_pos = sum(r["n_pos"] for r in partials)
-            n_pos_correct = sum(r["n_pos_correct"] for r in partials)
-            gvec = np.sum(
-                [np.asarray(r["grad"], dtype=np.float64) for r in partials],
-                axis=0,
-            ) / w_sum
-            weights = step_fn(weights, gk.unflatten_grads(gvec, weights))
-            sums["loss"] += loss_wsum / w_sum
-            sums["acc"] += n_correct / n
-            sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
+            st, gsum = _reduce_partials(partials, weights)
+            w_sum = st["w_sum"]
+            weights = step_fn(weights, gk.unflatten_grads(gsum / w_sum, weights))
+            sums["loss"] += st["loss_wsum"] / w_sum
+            sums["acc"] += st["n_correct"] / st["n"]
+            sums["pos_acc"] += (
+                (st["n_pos_correct"] / st["n_pos"]) if st["n_pos"] > 0 else 0.0
+            )
             n_steps += 1
         row = {
             "epoch": epoch,

@@ -216,6 +216,25 @@ def test_adam_step_semantics():
     assert state["t"] == 2
 
 
+def test_split_word_grad_roundtrip():
+    """Sparse transport of the word-embedding gradient block: split +
+    scatter-add reconstructs the dense vector exactly, and only rows
+    actually touched by the batch are shipped."""
+    W = tiny_weights(np.float64)
+    bags = tiny_bags(n_bags=3)
+    token, pos1, pos2, scopes, labels = batch_arrays(bags)
+    *_, grads = gk.bag_att_train_batch(token, pos1, pos2, scopes, labels, W)
+    flat = gk.flatten_grads(grads)
+    widx, wvals, rest = gk.split_word_grad(flat, W)
+    # only touched vocab rows ship
+    assert set(widx) <= set(np.unique(token))
+    # exact reconstruction
+    word = np.zeros(W["word_emb"].shape, dtype=np.float64)
+    word[widx] = wvals.reshape(len(widx), -1)
+    rebuilt = np.concatenate([word.ravel(), rest])
+    np.testing.assert_array_equal(rebuilt, flat)
+
+
 def test_sgd_step_semantics():
     """p -= lr * (g + wd * p) — coupled L2, torch optim.SGD."""
     W = tiny_weights(np.float32)
