@@ -32,9 +32,11 @@ reduce. The word-embedding block — the part that grows with vocabulary
 (~160 MB of float64 at a 400k-row vocab) — is SPARSE on the wire:
 partials ship (touched-row ids, rows) and the driver scatter-adds
 (gk.split_word_grad; kernel-side accumulation stays dense, mirroring
-torch's default dense nn.Embedding grads). Remaining extension point
-for thousands of partitions: a two-level combine (groupBy(part_id % K)
-zip_with-sum before the driver) — a plan change, not a semantic one.
+torch's default dense nn.Embedding grads). For clusters with thousands
+of partitions, `combine_fanin=K` adds a two-level combine
+(tree_combine: partials group by partition id mod K and sum in one
+applyInPandas reducer) so the driver collects K rows regardless of
+cluster width — numerically identical, pytest-checked.
 """
 
 from __future__ import annotations
@@ -60,6 +62,48 @@ _PARTIAL_SCHEMA = (
 )
 
 
+def tree_combine(partials_df: DataFrame, fanin: int) -> DataFrame:
+    """Two-level gradient combine for very wide clusters: instead of
+    collecting one partial per partition to the driver (fine at tens of
+    partitions, ~0.5 MB each; a 500 MB driver hot-spot at a thousand),
+    route partials into `fanin` groups by partition id and sum each
+    group in ONE applyInPandas reducer — the driver then collects
+    `fanin` rows regardless of cluster width. Summation stays float64
+    and the sparse word rows concatenate (ids may repeat across group
+    members; the driver's scatter-add handles repeats), so the result
+    is numerically identical to the direct collect."""
+    from pyspark.sql.functions import spark_partition_id
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        rest = None
+        widx_all, wval_all = [], []
+        sums = {k: 0.0 for k in ("loss_wsum", "w_sum", "n", "n_correct",
+                                 "n_pos", "n_pos_correct")}
+        for _, r in pdf.iterrows():
+            for k in sums:
+                sums[k] += float(r[k])
+            g = np.asarray(r["grad"], dtype=np.float64)
+            rest = g if rest is None else rest + g
+            widx_all.append(np.asarray(r["word_idx"], dtype=np.int64))
+            wval_all.append(np.asarray(r["word_grad"], dtype=np.float64))
+        return pd.DataFrame(
+            {
+                **{k: [v] for k, v in sums.items()},
+                "grad": [rest],
+                "word_idx": [np.concatenate(widx_all) if widx_all else
+                             np.array([], dtype=np.int64)],
+                "word_grad": [np.concatenate(wval_all) if wval_all else
+                              np.array([], dtype=np.float64)],
+            }
+        )
+
+    return (
+        partials_df.withColumn("__g", spark_partition_id() % fanin)
+        .groupBy("__g")
+        .applyInPandas(combine, schema=_PARTIAL_SCHEMA)
+    )
+
+
 def _reduce_partials(partials, weights):
     """Driver-side reduce of per-partition gradient partials: dense sum
     of the non-embedding block, scatter-add of the sparse-transported
@@ -77,9 +121,14 @@ def _reduce_partials(partials, weights):
         rest = g if rest is None else rest + g
         idx = np.asarray(r["word_idx"], dtype=np.int64)
         if idx.size:
-            word[idx] += np.asarray(
-                r["word_grad"], dtype=np.float64
-            ).reshape(idx.size, -1)
+            # np.add.at, not fancy-index +=: tree-combined partials
+            # concatenate group members' sparse rows, so ids can repeat
+            np.add.at(
+                word, idx,
+                np.asarray(r["word_grad"], dtype=np.float64).reshape(
+                    idx.size, -1
+                ),
+            )
     return stats, np.concatenate([word.ravel(), rest])
 
 # sentences per kernel invocation inside a partial — bounds the
@@ -513,6 +562,7 @@ def train_bag_attention(
     ckpt: str | None = None,
     metric: str = "auc",
     resume_dir: str | None = None,
+    combine_fanin: int | None = None,
 ) -> tuple[dict, list[dict]]:
     """BagRE.train_model (bag_re.py:100-152) as synchronous distributed
     SGD. `instances` are labeled rows (text, spans, h_id, t_id,
@@ -588,7 +638,7 @@ def train_bag_attention(
         n_steps = 0
         for step in range(n_batches):
             weights_bc = sc.broadcast(weights)
-            partials = (
+            pdf = (
                 with_batch.filter(F.col("__batch") == F.lit(step))
                 .drop("__batch")
                 .mapInPandas(
@@ -598,8 +648,10 @@ def train_bag_attention(
                     ),
                     schema=_PARTIAL_SCHEMA,
                 )
-                .collect()
             )
+            if combine_fanin:
+                pdf = tree_combine(pdf, combine_fanin)
+            partials = pdf.collect()
             weights_bc.destroy()
             if not partials:
                 continue  # hash-mod batch came up empty this epoch
@@ -704,6 +756,7 @@ def train_sentence_model(
     init_weights: dict | None = None,
     val_instances: DataFrame | None = None,
     ckpt: str | None = None,
+    combine_fanin: int | None = None,
 ) -> tuple[dict, list[dict]]:
     """SentenceRE.train_model (sentence_re.py:96-139): per-sentence CE
     over the softmax classifier, same distributed step shape as
@@ -742,7 +795,7 @@ def train_sentence_model(
         n_steps = 0
         for step in range(n_batches):
             weights_bc = sc.broadcast(weights)
-            partials = (
+            pdf = (
                 with_batch.filter(F.col("__batch") == F.lit(step))
                 .drop("__batch")
                 .mapInPandas(
@@ -752,8 +805,10 @@ def train_sentence_model(
                     ),
                     schema=_PARTIAL_SCHEMA,
                 )
-                .collect()
             )
+            if combine_fanin:
+                pdf = tree_combine(pdf, combine_fanin)
+            partials = pdf.collect()
             weights_bc.destroy()
             if not partials:
                 continue

@@ -492,6 +492,26 @@ def test_sentence_val_acc_and_ckpt(spark, tmp_path):
     assert math.isclose(acc, max(vals), rel_tol=1e-12)
 
 
+def test_tree_combine_matches_direct_collect(spark):
+    """combine_fanin routes partials through a second-level reducer —
+    results must match the direct driver collect (float64 summation
+    regroups only)."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import train_bag_attention
+
+    inst = _labeled_instances(spark, n=24)
+    _, W0 = default_model(schema="reduced")
+    kw = dict(epochs=2, batch_size=8, lr=0.2, weight_decay=1e-4,
+              seed=11, init_weights=W0)
+    W_direct, hist_direct = train_bag_attention(inst, **kw)
+    W_tree, hist_tree = train_bag_attention(inst, combine_fanin=2, **kw)
+    for hd, ht in zip(hist_direct, hist_tree):
+        assert math.isclose(hd["avg_loss"], ht["avg_loss"], rel_tol=1e-9)
+        assert hd["avg_acc"] == ht["avg_acc"]
+    for k in gk.PARAM_KEYS:
+        np.testing.assert_allclose(W_tree[k], W_direct[k], rtol=0, atol=2e-6)
+
+
 def test_training_resume_equals_uninterrupted(spark, tmp_path):
     """Kill-and-resume parity: epoch checkpoints + deterministic
     (seed, epoch) batch schedule mean a staged run (1 epoch, then
