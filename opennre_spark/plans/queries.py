@@ -571,6 +571,55 @@ def _q_minhash_dedup(spark, sf_dir):
     return minhash_dedup(_docs_dup_view(spark, sf_dir), **_MINHASH_ORACLE_KW)
 
 
+def _kg_train_then_extract(spark, sf_dir):
+    """The reference README's full lifecycle (train -> save best ->
+    load -> infer, README.md:127-141 + pretrain.py:147) composed
+    end-to-end on the Spark surface: distributed training writes a
+    loadable .npz checkpoint, the production pipeline consumes it via
+    the S4 ckpt source, and the output is the trained model's triple
+    table. Rows-only; the ckpt roundtrip itself is hash-exactly
+    verified in tests/test_training.py."""
+    import os
+    import tempfile
+
+    from ..operators.training import (
+        distant_supervision_instances,
+        train_bag_attention,
+    )
+    from ..pipeline import extract_triples
+    from ..sources.transcripts import gold_df, transcripts_df
+
+    n = 24
+    t = transcripts_df(spark, n)
+    facts = gold_df(spark, n).select(
+        "h_id", F.col("pred").alias("relation"), "t_id"
+    ).distinct()
+    inst = distant_supervision_instances(t, facts)
+    # distant supervision is ~85% NA here; deterministic negative
+    # downsampling (the standard DS negative-sampling practice) keeps
+    # the model from collapsing to the NA class in 3 epochs
+    pos = inst.filter(F.col("label_id") != 0)
+    neg = inst.filter(F.col("label_id") == 0).filter(
+        F.pmod(F.xxhash64("conv_id", "turn_idx", "h_id", "t_id"), F.lit(8))
+        == 0
+    )
+    fd, ckpt = tempfile.mkstemp(suffix=".npz", prefix="spark_graft_q_")
+    os.close(fd)
+    try:
+        _, hist = train_bag_attention(
+            pos.unionByName(neg), epochs=3, batch_size=64, lr=0.01,
+            opt="adam", weight_decay=1e-5, seed=42, ckpt=ckpt,
+        )
+        assert hist[-1]["avg_pos_acc"] > 0.9, "training failed to converge"
+        out = extract_triples(
+            t, mode="sentence", threshold=0.5, ckpt=ckpt
+        ).orderBy("subj", "pred", "obj")
+        rows = out.collect()  # materialize before the temp ckpt is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        os.remove(ckpt)
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (rolling-hash) fingerprints; the DuckDB oracle
     evaluates the SAME exact 64-bit polynomial + window-min pipeline
@@ -1183,6 +1232,7 @@ def queries() -> dict:
     out["kg_entity_linking"] = _q_entity_linking
     out["kg_train_bag_att"] = _kg_train_bag_att
     out["kg_train_sentence"] = _kg_train_sentence
+    out["kg_train_then_extract"] = _kg_train_then_extract
     out["media_feature_extract"] = _q_media_features
     out["media_frame_sample"] = _q_media_frames
     out["media_resize_plan"] = _q_media_resize

@@ -273,3 +273,97 @@ def test_winnow_fingerprints_detect_overlap(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert len(fps[1] & fps[2]) > 0
     assert len(fps[1] & fps[3]) == 0
+
+
+def test_ngram_jaccard_hypothesis_vs_bruteforce(spark):
+    """Property test of the prefix-filter lemma over adversarial small
+    corpora: tiny docs, identical docs, near-identical docs, thresholds
+    at and off lattice points — the filtered join must equal brute
+    force every time."""
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+
+    @st.composite
+    def corpus(draw):
+        n = draw(st.integers(2, 7))
+        docs = []
+        for i in range(n):
+            ln = draw(st.integers(1, 8))
+            docs.append(
+                (i, " ".join(draw(st.sampled_from(vocab)) for _ in range(ln)))
+            )
+        # force at least one exact duplicate pair
+        docs.append((n, docs[0][1]))
+        return docs
+
+    @settings(max_examples=12, deadline=None)
+    @given(rows=corpus(), thr=st.sampled_from([0.3, 0.5, 2 / 3, 0.75, 1.0]))
+    def run(rows, thr):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (p.id_a, p.id_b)
+            for p in dedup.ngram_jaccard_pairs(
+                df, jaccard_threshold=thr, shingle_n=2, materialize=False
+            ).collect()
+        }
+
+        def sh(t):
+            toks = t.lower().split()
+            return {
+                " ".join(toks[i : i + 2]) for i in range(max(len(toks) - 1, 1))
+            }
+
+        want = set()
+        for i, (ai, at) in enumerate(rows):
+            for bi, bt in rows[i + 1 :]:
+                sa, sb = sh(at), sh(bt)
+                if len(sa & sb) / len(sa | sb) >= thr:
+                    want.add((min(ai, bi), max(ai, bi)))
+        assert got == want
+
+    run()
+
+
+def test_winnow_hypothesis_vs_python(spark):
+    """Random unicode-ish text through Spark winnowing == the python
+    reference (normalization edge cases: punctuation, digits, unicode,
+    runs of spaces, short strings)."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    def py_winnow(text, k=4, w=4, B=257):
+        t = re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", text.lower())).strip()
+        if len(t) < k:
+            return set()
+        grams = []
+        for p in range(len(t) - k + 1):
+            h = 0
+            for ch in t[p : p + k]:
+                h = h * B + ord(ch)
+            grams.append(h)
+        if len(grams) < w:
+            return {min(grams)}
+        return {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+
+    texts_strategy = st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abcXYZ019 .,!?-Ü日")), max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts=texts_strategy)
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in textstats.winnow_fingerprints(df).collect():
+            got.setdefault(r.doc_id, set()).add(r.fp)
+        for i, t in rows:
+            assert got.get(i, set()) == py_winnow(t), repr(t)
+
+    run()
