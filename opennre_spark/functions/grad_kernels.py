@@ -212,6 +212,12 @@ def encoder_backward(d_rep, cache, weights, grads):
               d_x[:, :, wsz : wsz + psz].reshape(-1, psz))
     np.add.at(grads["pos2_emb"], cache["pos2"].ravel(),
               d_x[:, :, wsz + psz :].reshape(-1, psz))
+    # padding_idx=0 on BOTH position embeddings (base_encoder.py:68-69):
+    # torch structurally zeroes that row's data gradient, keeping the
+    # padding row at its zero init through training. The word embedding
+    # has NO padding_idx (base_encoder.py:56) — its PAD row trains.
+    grads["pos1_emb"][0] = 0.0
+    grads["pos2_emb"][0] = 0.0
 
 
 # ---------------------------------------------------------------------------

@@ -241,8 +241,27 @@ def _default_model_cached(
 
     vocab = build_vocab(relations.vocabulary_words())
     rel2id = relations.rel2id_for(schema)
+
+    def _with_trunc_flag(w: dict) -> dict:
+        """The eval kernel's exact length-truncation (kernels.cnn_forward)
+        assumes the PAD word row and position row 0 are zero, so every
+        fully-padded window pools to relu(bias). Seed-frozen weights
+        satisfy that by construction, and torch keeps the pos rows zero
+        via padding_idx — but the word PAD row is TRAINABLE in the
+        reference (no padding_idx, base_encoder.py:56), so a trained
+        checkpoint can carry a non-zero PAD row. Compute the soundness
+        flag here; the kernel falls back to full-length conv when it is
+        False (correct for any weights, just without the shortcut)."""
+        pad = vocab["[PAD]"]
+        w["exact_trunc"] = np.bool_(
+            not w["word_emb"][pad].any()
+            and not w["pos1_emb"][0].any()
+            and not w["pos2_emb"][0].any()
+        )
+        return w
+
     if ckpt is not None:
-        weights = load_state_dict_npz(ckpt, rel2id=rel2id)
+        weights = _with_trunc_flag(load_state_dict_npz(ckpt, rel2id=rel2id))
         if weights["fc_w"].shape[0] != len(rel2id):
             raise ValueError(
                 f"checkpoint has {weights['fc_w'].shape[0]} relations, "
@@ -256,5 +275,7 @@ def _default_model_cached(
         if bool(weights["pcnn"]) != pcnn:
             raise ValueError("checkpoint encoder kind does not match pcnn flag")
         return vocab, weights
-    weights = make_weights(num_rel=len(rel2id), vocab_size=len(vocab), pcnn=pcnn)
+    weights = _with_trunc_flag(
+        make_weights(num_rel=len(rel2id), vocab_size=len(vocab), pcnn=pcnn)
+    )
     return vocab, weights

@@ -157,7 +157,14 @@ def distant_supervision_instances(
     rel2id = relations.rel2id_for(schema)
     from ..pipeline import na_rel_id
 
-    na_id = na_rel_id(rel2id) or 0
+    na_id = na_rel_id(rel2id)
+    if na_id is None:
+        # wiki80-style schemas have no negative class — unlabeled
+        # candidates cannot be defaulted to a REAL relation id
+        raise ValueError(
+            f"schema {schema!r} has no NA-style label; distant "
+            "supervision needs a negative class for unmatched pairs"
+        )
     spark = transcripts.sparkSession
     rel_dim = spark.createDataFrame(
         [(r, i) for r, i in sorted(rel2id.items())],

@@ -131,6 +131,12 @@ def _fd_check(loss_fn, analytic_grads, weights, eps=1e-6, tol=5e-5):
         it = np.nditer(p, flags=["multi_index"])
         for _ in it:
             idx = it.multi_index
+            if key in ("pos1_emb", "pos2_emb") and idx[0] == 0:
+                # padding_idx=0 (base_encoder.py:68-69): torch blocks
+                # the data gradient structurally — FD sees the loss
+                # dependence, the parameter grad is defined as zero
+                assert g[idx] == 0.0
+                continue
             orig = p[idx]
             p[idx] = orig + eps
             lp = loss_fn(weights)
@@ -214,6 +220,62 @@ def test_adam_step_semantics():
     )
     np.testing.assert_allclose(out2[k], exp2.astype(np.float32), rtol=3e-5)
     assert state["t"] == 2
+
+
+def test_pos_padding_row_gradient_blocked():
+    """padding_idx=0 parity (base_encoder.py:68-69): the position
+    embeddings' row 0 never receives a data gradient, and under SGD
+    with weight decay a zero row stays zero through training — while
+    the word PAD row (no padding_idx) DOES train."""
+    W = tiny_weights(np.float64)
+    W["pos1_emb"][0] = 0.0
+    W["pos2_emb"][0] = 0.0
+    bags = tiny_bags(n_bags=4)
+    token, pos1, pos2, scopes, labels = batch_arrays(bags)
+    # force pad-style index usage
+    pos1[:, -2:] = 0
+    pos2[:, -2:] = 0
+    *_, grads = gk.bag_att_train_batch(token, pos1, pos2, scopes, labels, W)
+    assert not grads["pos1_emb"][0].any()
+    assert not grads["pos2_emb"][0].any()
+    assert grads["pos1_emb"][1:].any()  # other rows do train
+    W2 = gk.sgd_step(W, {k: grads[k] for k in gk.PARAM_KEYS}, 0.1, 1e-4)
+    assert not W2["pos1_emb"][0].any()
+    assert not W2["pos2_emb"][0].any()
+
+
+def test_trained_ckpt_disables_exact_truncation(spark, tmp_path):
+    """A trained checkpoint's non-zero PAD word row invalidates the
+    eval kernel's pad-window shortcut; the loader must detect it and
+    the kernel must fall back to the (always-correct) full-length conv."""
+    from opennre_spark.functions import kernels
+    from opennre_spark.functions.weights import default_model
+
+    _, W0 = default_model(schema="reduced")
+    assert bool(W0["exact_trunc"]) is True
+    # simulate a trained ckpt: PAD row moved
+    W = dict(W0)
+    W["word_emb"] = W0["word_emb"].copy()
+    W["word_emb"][-1] = 0.3
+    W["exact_trunc"] = np.bool_(False)
+    pad_id = W["word_emb"].shape[0] - 1
+    rng = np.random.default_rng(0)
+    B, L = 6, int(W["max_length"])
+    token = np.full((B, L), pad_id, dtype=np.int64)
+    token[:, :5] = rng.integers(0, 50, size=(B, 5))
+    pos1 = np.zeros((B, L), dtype=np.int64)
+    pos2 = np.zeros((B, L), dtype=np.int64)
+    pos1[:, :5] = rng.integers(1, 2 * L, size=(B, 5))
+    pos2[:, :5] = rng.integers(1, 2 * L, size=(B, 5))
+    n_real = np.full(B, 5, dtype=np.int64)
+    full = kernels.cnn_forward(token, pos1, pos2, W, n_real=None)
+    gated = kernels.cnn_forward(token, pos1, pos2, W, n_real=n_real)
+    np.testing.assert_array_equal(gated, full)
+    # and the shortcut WOULD have been wrong here (test has teeth)
+    W_wrong = dict(W)
+    W_wrong["exact_trunc"] = np.bool_(True)
+    trunc = kernels.cnn_forward(token, pos1, pos2, W_wrong, n_real=n_real)
+    assert not np.array_equal(trunc, full)
 
 
 def test_split_word_grad_roundtrip():
