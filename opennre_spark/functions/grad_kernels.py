@@ -349,6 +349,110 @@ def bag_att_train_batch(
     return loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads
 
 
+def bag_avg_train_batch(
+    token, pos1, pos2, scopes, labels, weights,
+    class_weights=None, dropout_p: float = 0.0, rng=None,
+):
+    """BagAverage train branch (bag_average.py:117-131): bag rep = mean
+    of member reps -> dropout -> fc -> CE. Same SUM-form contract and
+    argument shapes as bag_att_train_batch."""
+    fc_w, fc_b = weights["fc_w"], weights["fc_b"]
+    B = len(labels)
+    rep, cache = encoder_forward_train(token, pos1, pos2, weights)
+    enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    rep_d = rep * enc_mask if enc_mask is not None else rep
+
+    bag_rep = np.empty((B, fc_w.shape[1]), dtype=rep.dtype)
+    for i in range(B):
+        lo, hi = scopes[i]
+        bag_rep[i] = rep_d[lo:hi].mean(axis=0)
+    bag_mask = _dropout_mask(bag_rep.shape, dropout_p, rng, bag_rep.dtype)
+    bag_rep_d = bag_rep * bag_mask if bag_mask is not None else bag_rep
+    logits = bag_rep_d @ fc_w.T + fc_b
+
+    loss_wsum, w_sum, d_logits = ce_loss_and_dlogits(
+        logits, labels, class_weights
+    )
+    pred = logits.argmax(axis=-1)
+    n_correct = int((pred == labels).sum())
+    pos = labels != 0
+    n_pos = int(pos.sum())
+    n_pos_correct = int(((pred == labels) & pos).sum())
+
+    grads = zero_grads(weights)
+    grads["fc_b"] += d_logits.sum(axis=0)
+    grads["fc_w"] += d_logits.T @ bag_rep_d.astype(np.float64)
+    d_bag_rep_d = d_logits @ fc_w.astype(np.float64)
+    d_bag_rep = (
+        d_bag_rep_d * bag_mask if bag_mask is not None else d_bag_rep_d
+    )
+    d_rep_d = np.zeros(rep.shape, dtype=np.float64)
+    for i in range(B):
+        lo, hi = scopes[i]
+        d_rep_d[lo:hi] += d_bag_rep[i] / (hi - lo)
+    if enc_mask is not None:
+        d_rep_d *= enc_mask
+    encoder_backward(d_rep_d, cache, weights, grads)
+    return loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads
+
+
+def bag_one_train_batch(
+    token, pos1, pos2, scopes, labels, weights,
+    class_weights=None, dropout_p: float = 0.0, rng=None,
+):
+    """BagOne ("at-least-one") train branch (bag_one.py:111-138): per
+    bag, pick the member whose softmaxed instance logits score highest
+    ON THE GOLD LABEL (argmax is a hard selection — no gradient flows
+    through the selection itself, matching torch indexing semantics);
+    the bag rep is that member's rep -> dropout -> fc -> CE."""
+    fc_w, fc_b = weights["fc_w"], weights["fc_b"]
+    B = len(labels)
+    rep, cache = encoder_forward_train(token, pos1, pos2, weights)
+    enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    rep_d = rep * enc_mask if enc_mask is not None else rep
+
+    inst_logits = rep_d @ fc_w.T + fc_b  # (nsum, N), selection only
+    inst_prob = np.exp(_log_softmax(inst_logits))
+    sel = np.empty(B, dtype=np.int64)
+    for i in range(B):
+        lo, hi = scopes[i]
+        sel[i] = lo + int(inst_prob[lo:hi, labels[i]].argmax())
+    bag_rep = rep_d[sel]
+    bag_mask = _dropout_mask(bag_rep.shape, dropout_p, rng, bag_rep.dtype)
+    bag_rep_d = bag_rep * bag_mask if bag_mask is not None else bag_rep
+    logits = bag_rep_d @ fc_w.T + fc_b
+
+    loss_wsum, w_sum, d_logits = ce_loss_and_dlogits(
+        logits, labels, class_weights
+    )
+    pred = logits.argmax(axis=-1)
+    n_correct = int((pred == labels).sum())
+    pos = labels != 0
+    n_pos = int(pos.sum())
+    n_pos_correct = int(((pred == labels) & pos).sum())
+
+    grads = zero_grads(weights)
+    grads["fc_b"] += d_logits.sum(axis=0)
+    grads["fc_w"] += d_logits.T @ bag_rep_d.astype(np.float64)
+    d_bag_rep_d = d_logits @ fc_w.astype(np.float64)
+    d_bag_rep = (
+        d_bag_rep_d * bag_mask if bag_mask is not None else d_bag_rep_d
+    )
+    d_rep_d = np.zeros(rep.shape, dtype=np.float64)
+    np.add.at(d_rep_d, sel, d_bag_rep)  # only selected members backprop
+    if enc_mask is not None:
+        d_rep_d *= enc_mask
+    encoder_backward(d_rep_d, cache, weights, grads)
+    return loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads
+
+
+BAG_TRAIN_KERNELS = {
+    "att": bag_att_train_batch,
+    "avg": bag_avg_train_batch,
+    "one": bag_one_train_batch,
+}
+
+
 # ---------------------------------------------------------------------------
 # sentence softmax model: train forward + backward
 # ---------------------------------------------------------------------------

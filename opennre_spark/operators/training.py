@@ -278,7 +278,7 @@ def sentence_batch_col(epoch: int, n_batches: int, seed: int,
 
 def _bag_partials(
     weights_bc, class_weights, dropout_p: float, bag_size: int, bag_seed: int,
-    sort_cols: list[str], rng_salt: int = 0,
+    sort_cols: list[str], rng_salt: int = 0, method: str = "att",
 ):
     """mapInPandas kernel: ONE partial row per partition with SUM-form
     gradients + meter numerators (grad_kernels contract). dropout_p > 0
@@ -303,7 +303,7 @@ def _bag_partials(
             token = np.concatenate([t[0] for t in tok_list])
             pos1 = np.concatenate([t[1] for t in tok_list])
             pos2 = np.concatenate([t[2] for t in tok_list])
-            lw, ws, nc, npos, npc, grads = gk.bag_att_train_batch(
+            lw, ws, nc, npos, npc, grads = gk.BAG_TRAIN_KERNELS[method](
                 token, pos1, pos2,
                 np.asarray(scope_list, dtype=np.int64),
                 np.asarray(labels, dtype=np.int64),
@@ -570,10 +570,17 @@ def train_bag_attention(
     metric: str = "auc",
     resume_dir: str | None = None,
     combine_fanin: int | None = None,
+    method: str = "att",
 ) -> tuple[dict, list[dict]]:
     """BagRE.train_model (bag_re.py:100-152) as synchronous distributed
     SGD. `instances` are labeled rows (text, spans, h_id, t_id,
     label_id, stable-order cols) — see distant_supervision_instances.
+
+    method selects the bag model class the framework wraps:
+    'att' (BagAttention, bag_attention.py:100-137), 'avg' (BagAverage
+    mean-of-reps, bag_average.py:117-131) or 'one' (BagOne
+    at-least-one gold-label argmax selection, bag_one.py:111-138) —
+    the same trio the eval path exposes.
 
     Defaults mirror the reference (batch_size... bag_re.py:16-21 uses 32;
     the published example scripts use 160; lr=0.1, wd=1e-5, opt='sgd';
@@ -652,6 +659,7 @@ def train_bag_attention(
                     _bag_partials(
                         weights_bc, class_weights, dropout, bag_size, seed,
                         sort_cols, rng_salt=seed * 7919 + epoch * 101 + step,
+                        method=method,
                     ),
                     schema=_PARTIAL_SCHEMA,
                 )
@@ -681,7 +689,7 @@ def train_bag_attention(
         if val_instances is not None and val_facts is not None:
             res = evaluate_bag_model(
                 val_instances, val_facts, weights, schema=schema,
-                bag_cap=bag_cap, bag_size=bag_size,
+                method=method, bag_cap=bag_cap, bag_size=bag_size,
             )
             row[f"val_{metric}"] = float(res[metric])
             if best_metric is None or res[metric] > best_metric:

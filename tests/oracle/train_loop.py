@@ -48,23 +48,35 @@ def _naive_log_softmax(z):
     return [v - m - s for v in z]
 
 
-def naive_bag_loss(bags, W, class_weights=None):
-    """Mean CE over a batch of bags through the train-mode attention
-    (query = gold label), all-loops. bags: list of (members, label)
-    where members is a list of (token, pos1, pos2) int arrays.
-    Returns (mean_loss, preds)."""
+def naive_bag_loss(bags, W, class_weights=None, method="att"):
+    """Mean CE over a batch of bags through the train-mode bag model,
+    all-loops. method: 'att' (gold-label-query attention), 'avg'
+    (mean of reps, bag_average.py:117-131) or 'one' (member with max
+    softmaxed gold-label prob, bag_one.py:111-138). bags: list of
+    (members, label) where members is a list of (token, pos1, pos2)
+    int arrays. Returns (mean_loss, preds)."""
     loss_wsum = 0.0
     w_sum = 0.0
     preds = []
     for members, label in bags:
         reps = [_naive_rep(t, p1, p2, W) for (t, p1, p2) in members]
-        att_mat = W["fc_w"][label] * W["att_diag"]
-        scores = [float(r @ att_mat) for r in reps]
-        m = max(scores)
-        es = [math.exp(s - m) for s in scores]
-        tot = sum(es)
-        a = [e / tot for e in es]
-        bag_rep = sum(ai * ri for ai, ri in zip(a, reps))
+        if method == "att":
+            att_mat = W["fc_w"][label] * W["att_diag"]
+            scores = [float(r @ att_mat) for r in reps]
+            m = max(scores)
+            es = [math.exp(s - m) for s in scores]
+            tot = sum(es)
+            a = [e / tot for e in es]
+            bag_rep = sum(ai * ri for ai, ri in zip(a, reps))
+        elif method == "avg":
+            bag_rep = sum(reps) / len(reps)
+        else:  # 'one': member maximizing softmaxed gold-label prob
+            best, bag_rep = None, None
+            for r in reps:
+                lg = W["fc_w"] @ r + W["fc_b"]
+                p = math.exp(_naive_log_softmax(lg)[label])
+                if best is None or p > best:
+                    best, bag_rep = p, r
         logits = W["fc_w"] @ bag_rep + W["fc_b"]
         ls = _naive_log_softmax(logits)
         w = 1.0 if class_weights is None else float(class_weights[label])
@@ -99,7 +111,7 @@ def _serial_step(W, acc_g, w_sum, lr, weight_decay, opt, opt_state):
 
 def serial_train_bags(
     bags_by_epoch_batch, W0, lr, weight_decay, class_weights=None,
-    opt="sgd",
+    opt="sgd", method="att",
 ):
     """Run the EXACT schedule serially, one bag per kernel call.
 
@@ -123,7 +135,7 @@ def serial_train_bags(
                 token = np.stack([m[0] for m in members])
                 pos1 = np.stack([m[1] for m in members])
                 pos2 = np.stack([m[2] for m in members])
-                lw, ws, nc, npos, npc, grads = gk.bag_att_train_batch(
+                lw, ws, nc, npos, npc, grads = gk.BAG_TRAIN_KERNELS[method](
                     token, pos1, pos2,
                     np.array([[0, len(members)]], dtype=np.int64),
                     np.array([label], dtype=np.int64),

@@ -167,6 +167,40 @@ def test_bag_gradcheck_fd():
     _fd_check(loss_fn, {k: grads[k] / ws for k in grads}, W)
 
 
+@pytest.mark.parametrize("method", ["avg", "one"])
+def test_bag_method_forward_matches_naive(method):
+    W = tiny_weights(np.float32)
+    bags = tiny_bags(n_bags=5)
+    token, pos1, pos2, scopes, labels = batch_arrays(bags)
+    lw, ws, *_ = gk.BAG_TRAIN_KERNELS[method](
+        token, pos1, pos2, scopes, labels, W
+    )
+    naive_loss, _ = naive_bag_loss(bags, W, method=method)
+    assert math.isclose(lw / ws, naive_loss, rel_tol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["avg", "one"])
+def test_bag_method_gradcheck_fd(method):
+    """FD grad check for the BagAverage / BagOne train branches. For
+    'one' the argmax selection is a hard (locally constant) choice —
+    valid FD as long as eps does not flip it, which random continuous
+    weights make overwhelmingly likely."""
+    W = tiny_weights(np.float64, seed=19)
+    bags = tiny_bags(n_bags=3, seed=23)
+    token, pos1, pos2, scopes, labels = batch_arrays(bags)
+
+    def loss_fn(w):
+        lw, ws, *_ = gk.BAG_TRAIN_KERNELS[method](
+            token, pos1, pos2, scopes, labels, w
+        )
+        return lw / ws
+
+    lw, ws, _, _, _, grads = gk.BAG_TRAIN_KERNELS[method](
+        token, pos1, pos2, scopes, labels, W
+    )
+    _fd_check(loss_fn, {k: grads[k] / ws for k in grads}, W)
+
+
 def test_sentence_gradcheck_fd():
     W = tiny_weights(np.float64)
     bags = tiny_bags(n_bags=4, max_members=1)
@@ -445,6 +479,34 @@ def test_distributed_sentence_training_matches_serial(spark):
         schedule.append(batches)
     W_ser, hist_ser = serial_train_sentences(schedule, dict(W0), lr, wd)
 
+    for hd, hs in zip(hist_dist, hist_ser):
+        assert math.isclose(hd["avg_loss"], hs["avg_loss"], rel_tol=1e-6)
+        assert math.isclose(hd["avg_acc"], hs["avg_acc"], rel_tol=1e-9)
+    for k in gk.PARAM_KEYS:
+        np.testing.assert_allclose(W_dist[k], W_ser[k], rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize("method", ["avg", "one"])
+def test_distributed_bag_method_matches_serial(spark, method):
+    """The avg and one bag models through the same schedule harness."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import train_bag_attention
+
+    inst = _labeled_instances(spark, n=24)
+    _, W0 = default_model(schema="reduced")
+    epochs, batch_size, lr, wd, seed = 2, 8, 0.2, 1e-4, 29
+
+    W_dist, hist_dist = train_bag_attention(
+        inst, epochs=epochs, batch_size=batch_size, lr=lr,
+        weight_decay=wd, seed=seed, init_weights=W0, method=method,
+    )
+    n_bags = sum(len(b) for b in _collect_bag_schedule(
+        spark, inst, 1, 1, seed)[0])
+    n_batches = max(1, math.ceil(n_bags / batch_size))
+    schedule = _collect_bag_schedule(spark, inst, epochs, n_batches, seed)
+    W_ser, hist_ser = serial_train_bags(
+        schedule, dict(W0), lr, wd, method=method
+    )
     for hd, hs in zip(hist_dist, hist_ser):
         assert math.isclose(hd["avg_loss"], hs["avg_loss"], rel_tol=1e-6)
         assert math.isclose(hd["avg_acc"], hs["avg_acc"], rel_tol=1e-9)
