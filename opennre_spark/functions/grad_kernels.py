@@ -165,26 +165,48 @@ def _conv_full(x, w, b):
     return out, xp
 
 
-def encoder_forward_train(token, pos1, pos2, weights):
-    """CNNEncoder train forward WITHOUT the trailing dropout (the caller
-    owns dropout so the bag path can place it exactly where the
-    reference does). Returns (rep (B, H), cache for backward)."""
+def encoder_forward_train(token, pos1, pos2, weights, mask=None):
+    """CNN / PCNN encoder train forward WITHOUT the trailing dropout
+    (the caller owns dropout so the bag path can place it exactly where
+    the reference does). mask=None -> CNNEncoder (rep width H); mask
+    (B, L) in {0,1,2,3} -> PCNNEncoder piecewise pooling
+    (pcnn_encoder.py:54-80, rep width 3H: each segment's max over
+    relu(conv - 100*(1-gate))). Returns (rep, cache for backward)."""
     x = _embed(token, pos1, pos2, weights)
     conv, xp = _conv_full(x, weights["conv_w"], weights["conv_b"])
-    relu = np.maximum(conv, 0)
-    amax = relu.argmax(axis=1)  # (B, H) first-max index, torch tie rule
-    rep = np.take_along_axis(relu, amax[:, None, :], axis=1)[:, 0, :]
-    cache = {
-        "token": token, "pos1": pos1, "pos2": pos2,
-        "xp": xp, "amax": amax, "pos_mask": rep > 0,
-    }
+    cache = {"token": token, "pos1": pos1, "pos2": pos2, "xp": xp}
+    if mask is None:
+        relu = np.maximum(conv, 0)
+        amax = relu.argmax(axis=1)  # (B, H) first-max index, torch rule
+        rep = np.take_along_axis(relu, amax[:, None, :], axis=1)[:, 0, :]
+        cache["amax"] = amax
+        cache["pos_mask"] = rep > 0
+        return rep, cache
+    B, L, H = conv.shape
+    minus = conv.dtype.type(-100.0)
+    rep = np.empty((B, 3 * H), dtype=conv.dtype)
+    amax = np.empty((B, 3, H), dtype=np.int64)
+    pos_mask = np.empty((B, 3, H), dtype=bool)
+    for seg in (1, 2, 3):
+        gate = (mask == seg).astype(conv.dtype)  # (B, L)
+        shifted = conv + minus * (1.0 - gate)[:, :, None]
+        relu = np.maximum(shifted, 0)
+        a = relu.argmax(axis=1)  # (B, H)
+        r = np.take_along_axis(relu, a[:, None, :], axis=1)[:, 0, :]
+        rep[:, (seg - 1) * H : seg * H] = r
+        amax[:, seg - 1] = a
+        pos_mask[:, seg - 1] = r > 0
+    cache["seg_amax"] = amax
+    cache["seg_pos_mask"] = pos_mask
     return rep, cache
 
 
 def encoder_backward(d_rep, cache, weights, grads):
-    """Backprop d_rep (B, H) through maxpool -> relu -> conv -> embed,
-    accumulating into grads (float64). MaxPool routes each channel's
-    gradient to its (first) argmax position; ReLU gates on output > 0."""
+    """Backprop d_rep through (piecewise) maxpool -> relu -> conv ->
+    embed, accumulating into grads (float64). MaxPool routes each
+    channel's gradient to its (first) argmax position; ReLU gates on
+    output > 0; the PCNN -100 segment shift is additive-constant, so
+    d(shifted)/d(conv) = 1 and segments simply accumulate into d_conv."""
     w = weights["conv_w"]
     H, C, K = w.shape
     xp = cache["xp"]
@@ -192,8 +214,23 @@ def encoder_backward(d_rep, cache, weights, grads):
     pad = (K - 1) // 2
     L = Lp - 2 * pad
     d_conv = np.zeros((B, L, H), dtype=np.float64)
-    d_gate = np.where(cache["pos_mask"], d_rep, 0.0).astype(np.float64)
-    np.put_along_axis(d_conv, cache["amax"][:, None, :], d_gate[:, None, :], axis=1)
+    if "seg_amax" in cache:  # PCNN: d_rep is (B, 3H)
+        rows = np.arange(B)[:, None]
+        cols = np.arange(H)[None, :]
+        for seg in range(3):
+            d_gate = np.where(
+                cache["seg_pos_mask"][:, seg],
+                d_rep[:, seg * H : (seg + 1) * H], 0.0,
+            ).astype(np.float64)
+            # add.at: two segments can argmax the same (pos, channel)
+            np.add.at(
+                d_conv, (rows, cache["seg_amax"][:, seg], cols), d_gate
+            )
+    else:
+        d_gate = np.where(cache["pos_mask"], d_rep, 0.0).astype(np.float64)
+        np.put_along_axis(
+            d_conv, cache["amax"][:, None, :], d_gate[:, None, :], axis=1
+        )
 
     grads["conv_b"] += d_conv.sum(axis=(0, 1))
     d_xp = np.zeros((B, Lp, C), dtype=np.float64)
@@ -264,7 +301,7 @@ def _dropout_mask(shape, p, rng, dtype):
 
 def bag_att_train_batch(
     token, pos1, pos2, scopes, labels, weights,
-    class_weights=None, dropout_p: float = 0.0, rng=None,
+    class_weights=None, dropout_p: float = 0.0, rng=None, mask=None,
 ):
     """One training batch of bags through BagAttention (train branch,
     bag_size=0 semantics, use_diag=True): returns
@@ -284,7 +321,7 @@ def bag_att_train_batch(
     fc_w, fc_b, diag = weights["fc_w"], weights["fc_b"], weights["att_diag"]
     B = len(labels)
 
-    rep, cache = encoder_forward_train(token, pos1, pos2, weights)
+    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
     enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
     rep_d = rep * enc_mask if enc_mask is not None else rep
 
@@ -351,14 +388,14 @@ def bag_att_train_batch(
 
 def bag_avg_train_batch(
     token, pos1, pos2, scopes, labels, weights,
-    class_weights=None, dropout_p: float = 0.0, rng=None,
+    class_weights=None, dropout_p: float = 0.0, rng=None, mask=None,
 ):
     """BagAverage train branch (bag_average.py:117-131): bag rep = mean
     of member reps -> dropout -> fc -> CE. Same SUM-form contract and
     argument shapes as bag_att_train_batch."""
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
     B = len(labels)
-    rep, cache = encoder_forward_train(token, pos1, pos2, weights)
+    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
     enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
     rep_d = rep * enc_mask if enc_mask is not None else rep
 
@@ -398,7 +435,7 @@ def bag_avg_train_batch(
 
 def bag_one_train_batch(
     token, pos1, pos2, scopes, labels, weights,
-    class_weights=None, dropout_p: float = 0.0, rng=None,
+    class_weights=None, dropout_p: float = 0.0, rng=None, mask=None,
 ):
     """BagOne ("at-least-one") train branch (bag_one.py:111-138): per
     bag, pick the member whose softmaxed instance logits score highest
@@ -407,7 +444,7 @@ def bag_one_train_batch(
     the bag rep is that member's rep -> dropout -> fc -> CE."""
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
     B = len(labels)
-    rep, cache = encoder_forward_train(token, pos1, pos2, weights)
+    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
     enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
     rep_d = rep * enc_mask if enc_mask is not None else rep
 
@@ -459,7 +496,7 @@ BAG_TRAIN_KERNELS = {
 
 def sentence_train_batch(
     token, pos1, pos2, labels, weights,
-    class_weights=None, dropout_p: float = 0.0, rng=None,
+    class_weights=None, dropout_p: float = 0.0, rng=None, mask=None,
 ):
     """One batch through CNNEncoder -> dropout -> fc -> CE
     (SentenceRE.train_model step, sentence_re.py:104-127; SoftmaxNN
@@ -467,7 +504,7 @@ def sentence_train_batch(
     as bag_att_train_batch; returns
     (loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads)."""
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
-    rep, cache = encoder_forward_train(token, pos1, pos2, weights)
+    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
     mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
     rep_d = rep * mask if mask is not None else rep
     logits = rep_d @ fc_w.T + fc_b

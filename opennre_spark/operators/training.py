@@ -186,12 +186,20 @@ def distant_supervision_instances(
 _ENC_COLS = ["h_id", "t_id", "label_id"] + _SORT_COLS
 
 
-def encode_labeled(instances: DataFrame, schema: str = "reduced") -> DataFrame:
+def encode_labeled(
+    instances: DataFrame, schema: str = "reduced", encoder: str = "cnn"
+) -> DataFrame:
     """Tokenize+encode once, up front: training sweeps the data
     epochs × steps times, so the string work must not re-run per step
     (the reference's DataLoader caches nothing and re-tokenizes every
     epoch — data_loader.py:196; doing that in a distributed loop would
-    be the dominant cost). Emits token/pos1/pos2 as int32 arrays."""
+    be the dominant cost). Emits token/pos1/pos2 (+ the PCNN segment
+    mask for encoder='pcnn') as int32 arrays."""
+    pcnn = encoder == "pcnn"
+    extra = (
+        [T.StructField("mask", T.ArrayType(T.IntegerType()), False)]
+        if pcnn else []
+    )
     out_schema = T.StructType(
         [f for f in instances.schema.fields if f.name in _ENC_COLS]
         + [
@@ -199,6 +207,7 @@ def encode_labeled(instances: DataFrame, schema: str = "reduced") -> DataFrame:
             T.StructField("pos1", T.ArrayType(T.IntegerType()), False),
             T.StructField("pos2", T.ArrayType(T.IntegerType()), False),
         ]
+        + extra
     )
     keep = [f.name for f in instances.schema.fields if f.name in _ENC_COLS]
 
@@ -206,7 +215,7 @@ def encode_labeled(instances: DataFrame, schema: str = "reduced") -> DataFrame:
         from ..functions.encoding import encode_batch
         from ..functions.weights import default_model
 
-        vocab, weights = default_model(schema=schema)
+        vocab, weights = default_model(schema=schema, pcnn=pcnn)
         pad_id, unk_id = vocab["[PAD]"], vocab["[UNK]"]
         L = int(weights["max_length"])
         for pdf in batches:
@@ -216,12 +225,14 @@ def encode_labeled(instances: DataFrame, schema: str = "reduced") -> DataFrame:
                 pdf["text"].tolist(),
                 pdf["h_begin"].to_numpy(), pdf["h_end"].to_numpy(),
                 pdf["t_begin"].to_numpy(), pdf["t_end"].to_numpy(),
-                vocab, L, pad_id, unk_id, with_mask=False,
+                vocab, L, pad_id, unk_id, with_mask=pcnn,
             )
             out = pdf[keep].copy()
             out["token"] = list(enc["token"].astype(np.int32))
             out["pos1"] = list(enc["pos1"].astype(np.int32))
             out["pos2"] = list(enc["pos2"].astype(np.int32))
+            if pcnn:
+                out["mask"] = list(enc["mask"].astype(np.int32))
             yield out
 
     return instances.mapInPandas(run, schema=out_schema)
@@ -247,9 +258,9 @@ def assemble_train_bags(
             .filter(F.col("__rn") <= F.lit(bag_cap))
             .drop("__rn")
         )
-    member = F.struct(
-        *sort_cols, F.col("token"), F.col("pos1"), F.col("pos2")
-    )
+    enc_cols = [c for c in ("token", "pos1", "pos2", "mask")
+                if c in encoded.columns]
+    member = F.struct(*sort_cols, *[F.col(c) for c in enc_cols])
     return encoded.groupBy("h_id", "t_id", "label_id").agg(
         F.collect_list(member).alias("members")
     )
@@ -303,12 +314,16 @@ def _bag_partials(
             token = np.concatenate([t[0] for t in tok_list])
             pos1 = np.concatenate([t[1] for t in tok_list])
             pos2 = np.concatenate([t[2] for t in tok_list])
+            mask = (
+                np.concatenate([t[3] for t in tok_list])
+                if tok_list[0][3] is not None else None
+            )
             lw, ws, nc, npos, npc, grads = gk.BAG_TRAIN_KERNELS[method](
                 token, pos1, pos2,
                 np.asarray(scope_list, dtype=np.int64),
                 np.asarray(labels, dtype=np.int64),
                 weights, class_weights=class_weights, dropout_p=dropout_p,
-                rng=rng,
+                rng=rng, mask=mask,
             )
             loss_wsum += lw
             w_sum += ws
@@ -327,13 +342,15 @@ def _bag_partials(
                 members = sorted(
                     members, key=lambda m: tuple(m[c] for c in sort_cols)
                 )
-                sub = pd.DataFrame(
-                    {
-                        "token": [np.asarray(m["token"]) for m in members],
-                        "pos1": [np.asarray(m["pos1"]) for m in members],
-                        "pos2": [np.asarray(m["pos2"]) for m in members],
-                    }
-                )
+                has_mask = "mask" in members[0]  # arrow struct -> dict
+                cols = {
+                    "token": [np.asarray(m["token"]) for m in members],
+                    "pos1": [np.asarray(m["pos1"]) for m in members],
+                    "pos2": [np.asarray(m["pos2"]) for m in members],
+                }
+                if has_mask:
+                    cols["mask"] = [np.asarray(m["mask"]) for m in members]
+                sub = pd.DataFrame(cols)
                 if bag_size > 0:
                     sub = resize_bag(sub, bag_size, h, t, bag_seed)
                 k = len(sub)
@@ -342,6 +359,7 @@ def _bag_partials(
                         np.stack(sub["token"].tolist()),
                         np.stack(sub["pos1"].tolist()),
                         np.stack(sub["pos2"].tolist()),
+                        np.stack(sub["mask"].tolist()) if has_mask else None,
                     )
                 )
                 scope_list.append((n_sents, n_sents + k))
@@ -458,6 +476,7 @@ def evaluate_bag_model(
     weights: dict,
     schema: str = "reduced",
     method: str = "att",
+    encoder: str = "cnn",
     threshold: float = config.SCORE_THRESHOLD,
     bag_cap: int = 0,
     bag_size: int = 0,
@@ -493,11 +512,12 @@ def evaluate_bag_model(
             with_rep=(method != "one"),
             with_scores=(method == "one"),
             schema=schema,
+            encoder=encoder,
             ckpt=path,
         )
         bags = bag_scores_batched(
             scored, method=method, bag_cap=bag_cap, bag_size=bag_size,
-            schema=schema, ckpt=path,
+            schema=schema, encoder=encoder, ckpt=path,
         )
         preds = explode_bag_scores(bags, id2rel).select(
             "h_id", "t_id", "relation", "score"
@@ -509,7 +529,8 @@ def evaluate_bag_model(
 
 
 def evaluate_sentence_acc(
-    val_instances: DataFrame, weights: dict, schema: str = "reduced"
+    val_instances: DataFrame, weights: dict, schema: str = "reduced",
+    encoder: str = "cnn",
 ) -> float:
     """SentenceRE.eval_model accuracy (sentence_re.py:142-161): argmax
     prediction vs gold label over labeled val instances, through the
@@ -526,7 +547,9 @@ def evaluate_sentence_acc(
     os.close(fd)
     try:
         save_weights_npz(weights, path, rel2id=rel2id)
-        scored = score_instances(val_instances, schema=schema, ckpt=path)
+        scored = score_instances(
+            val_instances, schema=schema, encoder=encoder, ckpt=path
+        )
         agg = scored.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -571,6 +594,7 @@ def train_bag_attention(
     resume_dir: str | None = None,
     combine_fanin: int | None = None,
     method: str = "att",
+    encoder: str = "cnn",
 ) -> tuple[dict, list[dict]]:
     """BagRE.train_model (bag_re.py:100-152) as synchronous distributed
     SGD. `instances` are labeled rows (text, spans, h_id, t_id,
@@ -607,15 +631,16 @@ def train_bag_attention(
     AverageMeter semantics as the reference's progress bar: per-step
     batch-mean loss/acc/pos_acc averaged over the epoch's steps)."""
     spark = instances.sparkSession
+    pcnn = encoder == "pcnn"
     if init_weights is None:
         from ..functions.weights import default_model
 
-        _, w0 = default_model(schema=schema)
+        _, w0 = default_model(schema=schema, pcnn=pcnn)
         weights = dict(w0)
     else:
         weights = dict(init_weights)
 
-    encoded = encode_labeled(instances, schema=schema)
+    encoded = encode_labeled(instances, schema=schema, encoder=encoder)
     bags = assemble_train_bags(encoded, bag_cap=bag_cap).localCheckpoint()
     n_bags = bags.count()
     if n_bags == 0:
@@ -689,7 +714,8 @@ def train_bag_attention(
         if val_instances is not None and val_facts is not None:
             res = evaluate_bag_model(
                 val_instances, val_facts, weights, schema=schema,
-                method=method, bag_cap=bag_cap, bag_size=bag_size,
+                method=method, encoder=encoder,
+                bag_cap=bag_cap, bag_size=bag_size,
             )
             row[f"val_{metric}"] = float(res[metric])
             if best_metric is None or res[metric] > best_metric:
@@ -772,6 +798,7 @@ def train_sentence_model(
     val_instances: DataFrame | None = None,
     ckpt: str | None = None,
     combine_fanin: int | None = None,
+    encoder: str = "cnn",
 ) -> tuple[dict, list[dict]]:
     """SentenceRE.train_model (sentence_re.py:96-139): per-sentence CE
     over the softmax classifier, same distributed step shape as
@@ -780,14 +807,17 @@ def train_sentence_model(
     per-epoch accuracy validation (metric='acc', sentence_re.py:128-138)
     with best-checkpoint save when `ckpt` is given."""
     spark = instances.sparkSession
+    pcnn = encoder == "pcnn"
     if init_weights is None:
         from ..functions.weights import default_model
 
-        _, w0 = default_model(schema=schema)
+        _, w0 = default_model(schema=schema, pcnn=pcnn)
         weights = dict(w0)
     else:
         weights = dict(init_weights)
-    encoded = encode_labeled(instances, schema=schema).localCheckpoint()
+    encoded = encode_labeled(
+        instances, schema=schema, encoder=encoder
+    ).localCheckpoint()
     n_inst = encoded.count()
     if n_inst == 0:
         return weights, []
@@ -844,7 +874,9 @@ def train_sentence_model(
             "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
         }
         if val_instances is not None:
-            acc = evaluate_sentence_acc(val_instances, weights, schema=schema)
+            acc = evaluate_sentence_acc(
+                val_instances, weights, schema=schema, encoder=encoder
+            )
             row["val_acc"] = acc
             if best_metric is None or acc > best_metric:
                 best_metric = acc

@@ -29,16 +29,23 @@ from opennre_spark.functions import grad_kernels as gk
 from .reference_math import oracle_conv
 
 
-def _naive_rep(token, pos1, pos2, W):
-    """CNNEncoder forward for ONE sentence, loops only (no dropout)."""
-    L = len(token)
+def _naive_rep(token, pos1, pos2, W, mask=None):
+    """CNN / PCNN encoder forward for ONE sentence, loops only (no
+    dropout). mask given -> piecewise pooling (pcnn_encoder.py:54-80)."""
     x = np.concatenate(
         [W["word_emb"][token], W["pos1_emb"][pos1], W["pos2_emb"][pos2]],
         axis=1,
     )  # (L, C)
     conv = oracle_conv(x[None, :, :], W["conv_w"], W["conv_b"])[0]  # (L, H)
-    relu = np.maximum(conv, 0)
-    return relu.max(axis=0)  # (H,)
+    if mask is None:
+        return np.maximum(conv, 0).max(axis=0)  # (H,)
+    H = conv.shape[1]
+    out = np.empty(3 * H, dtype=conv.dtype)
+    for seg in (1, 2, 3):
+        gate = (mask == seg).astype(conv.dtype)
+        shifted = conv + np.float32(-100.0) * (1.0 - gate)[:, None]
+        out[(seg - 1) * H : seg * H] = np.maximum(shifted, 0).max(axis=0)
+    return out
 
 
 def _naive_log_softmax(z):
@@ -59,7 +66,8 @@ def naive_bag_loss(bags, W, class_weights=None, method="att"):
     w_sum = 0.0
     preds = []
     for members, label in bags:
-        reps = [_naive_rep(t, p1, p2, W) for (t, p1, p2) in members]
+        reps = [_naive_rep(*m[:3], W, mask=(m[3] if len(m) > 3 else None))
+                for m in members]
         if method == "att":
             att_mat = W["fc_w"][label] * W["att_diag"]
             scores = [float(r @ att_mat) for r in reps]
@@ -135,11 +143,15 @@ def serial_train_bags(
                 token = np.stack([m[0] for m in members])
                 pos1 = np.stack([m[1] for m in members])
                 pos2 = np.stack([m[2] for m in members])
+                mask = (
+                    np.stack([m[3] for m in members])
+                    if len(members[0]) > 3 else None
+                )
                 lw, ws, nc, npos, npc, grads = gk.BAG_TRAIN_KERNELS[method](
                     token, pos1, pos2,
                     np.array([[0, len(members)]], dtype=np.int64),
                     np.array([label], dtype=np.int64),
-                    W, class_weights=class_weights,
+                    W, class_weights=class_weights, mask=mask,
                 )
                 loss_wsum += lw
                 w_sum += ws

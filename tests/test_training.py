@@ -69,6 +69,31 @@ def tiny_bags(n_bags=3, max_members=3, seed=3):
     return bags
 
 
+def tiny_weights_pcnn(dtype=np.float64, seed=7):
+    W = tiny_weights(dtype, seed)
+    rng = np.random.default_rng(seed + 1)
+    W["fc_w"] = (rng.standard_normal((N, 3 * H)) * 0.5).astype(dtype)
+    W["att_diag"] = (np.ones(3 * H) + 0.1 * rng.standard_normal(3 * H)).astype(
+        dtype
+    )
+    return W
+
+
+def tiny_bags_pcnn(n_bags=3, max_members=3, seed=3):
+    """tiny_bags + a 4th per-member array: the PCNN segment mask in
+    {0,1,2,3} with a mask-0 (pad) tail."""
+    rng = np.random.default_rng(seed + 100)
+    bags = []
+    for members, label in tiny_bags(n_bags, max_members, seed):
+        out = []
+        for (t, p1, p2) in members:
+            m = rng.integers(1, 4, size=L)
+            m[-2:] = 0  # padded tail
+            out.append((t, p1, p2, m.astype(np.int64)))
+        bags.append((out, label))
+    return bags
+
+
 def batch_arrays(bags):
     token = np.concatenate([np.stack([m[0] for m in ms]) for ms, _ in bags])
     pos1 = np.concatenate([np.stack([m[1] for m in ms]) for ms, _ in bags])
@@ -176,6 +201,55 @@ def test_bag_method_forward_matches_naive(method):
         token, pos1, pos2, scopes, labels, W
     )
     naive_loss, _ = naive_bag_loss(bags, W, method=method)
+    assert math.isclose(lw / ws, naive_loss, rel_tol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["att", "one"])
+def test_pcnn_bag_gradcheck_fd(method):
+    """FD grad check through the PCNN piecewise-pool backward
+    (pcnn_encoder.py:54-80: per-segment -100 gating, relu, max)."""
+    W = tiny_weights_pcnn(np.float64, seed=31)
+    bags = tiny_bags_pcnn(n_bags=3, seed=37)
+    token = np.concatenate([np.stack([m[0] for m in ms]) for ms, _ in bags])
+    pos1 = np.concatenate([np.stack([m[1] for m in ms]) for ms, _ in bags])
+    pos2 = np.concatenate([np.stack([m[2] for m in ms]) for ms, _ in bags])
+    mask = np.concatenate([np.stack([m[3] for m in ms]) for ms, _ in bags])
+    scopes, lo = [], 0
+    for ms, _ in bags:
+        scopes.append((lo, lo + len(ms)))
+        lo += len(ms)
+    scopes = np.array(scopes, dtype=np.int64)
+    labels = np.array([y for _, y in bags], dtype=np.int64)
+
+    def loss_fn(w):
+        lw, ws, *_ = gk.BAG_TRAIN_KERNELS[method](
+            token, pos1, pos2, scopes, labels, w, mask=mask
+        )
+        return lw / ws
+
+    lw, ws, _, _, _, grads = gk.BAG_TRAIN_KERNELS[method](
+        token, pos1, pos2, scopes, labels, W, mask=mask
+    )
+    _fd_check(loss_fn, {k: grads[k] / ws for k in grads}, W)
+
+
+def test_pcnn_bag_forward_matches_naive():
+    W = tiny_weights_pcnn(np.float32)
+    bags = tiny_bags_pcnn(n_bags=4)
+    token = np.concatenate([np.stack([m[0] for m in ms]) for ms, _ in bags])
+    pos1 = np.concatenate([np.stack([m[1] for m in ms]) for ms, _ in bags])
+    pos2 = np.concatenate([np.stack([m[2] for m in ms]) for ms, _ in bags])
+    mask = np.concatenate([np.stack([m[3] for m in ms]) for ms, _ in bags])
+    scopes, lo = [], 0
+    for ms, _ in bags:
+        scopes.append((lo, lo + len(ms)))
+        lo += len(ms)
+    labels = np.array([y for _, y in bags], dtype=np.int64)
+    lw, ws, *_ = gk.bag_att_train_batch(
+        token, pos1, pos2, np.array(scopes, dtype=np.int64), labels, W,
+        mask=mask,
+    )
+    naive_loss, _ = naive_bag_loss(bags, W, method="att")
     assert math.isclose(lw / ws, naive_loss, rel_tol=1e-5)
 
 
@@ -375,7 +449,7 @@ def _labeled_instances(spark, n=32):
     )
 
 
-def _collect_bag_schedule(spark, inst, epochs, n_batches, seed):
+def _collect_bag_schedule(spark, inst, epochs, n_batches, seed, encoder="cnn"):
     from opennre_spark.operators.training import (
         _SORT_COLS,
         assemble_train_bags,
@@ -383,7 +457,7 @@ def _collect_bag_schedule(spark, inst, epochs, n_batches, seed):
         epoch_batch_col,
     )
 
-    encoded = encode_labeled(inst)
+    encoded = encode_labeled(inst, encoder=encoder)
     bags = assemble_train_bags(encoded)
     sort_cols = [c for c in _SORT_COLS if c in inst.columns]
     schedule = []
@@ -401,6 +475,10 @@ def _collect_bag_schedule(spark, inst, epochs, n_batches, seed):
                     np.asarray(m["token"], dtype=np.int64),
                     np.asarray(m["pos1"], dtype=np.int64),
                     np.asarray(m["pos2"], dtype=np.int64),
+                )
+                + (
+                    (np.asarray(m["mask"], dtype=np.int64),)
+                    if "mask" in m else ()
                 )
                 for m in members
             ]
@@ -482,6 +560,34 @@ def test_distributed_sentence_training_matches_serial(spark):
     for hd, hs in zip(hist_dist, hist_ser):
         assert math.isclose(hd["avg_loss"], hs["avg_loss"], rel_tol=1e-6)
         assert math.isclose(hd["avg_acc"], hs["avg_acc"], rel_tol=1e-9)
+    for k in gk.PARAM_KEYS:
+        np.testing.assert_allclose(W_dist[k], W_ser[k], rtol=0, atol=2e-6)
+
+
+def test_distributed_pcnn_training_matches_serial(spark):
+    """encoder='pcnn' end-to-end: mask encoded once, carried through
+    bag assembly, consumed by the piecewise-pool train kernel —
+    distributed == the serial schedule."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import train_bag_attention
+
+    inst = _labeled_instances(spark, n=24)
+    _, W0 = default_model(schema="reduced", pcnn=True)
+    epochs, batch_size, lr, wd, seed = 2, 8, 0.2, 1e-4, 41
+
+    W_dist, hist_dist = train_bag_attention(
+        inst, epochs=epochs, batch_size=batch_size, lr=lr,
+        weight_decay=wd, seed=seed, init_weights=W0, encoder="pcnn",
+    )
+    n_bags = sum(len(b) for b in _collect_bag_schedule(
+        spark, inst, 1, 1, seed, encoder="pcnn")[0])
+    n_batches = max(1, math.ceil(n_bags / batch_size))
+    schedule = _collect_bag_schedule(
+        spark, inst, epochs, n_batches, seed, encoder="pcnn"
+    )
+    W_ser, hist_ser = serial_train_bags(schedule, dict(W0), lr, wd)
+    for hd, hs in zip(hist_dist, hist_ser):
+        assert math.isclose(hd["avg_loss"], hs["avg_loss"], rel_tol=1e-6)
     for k in gk.PARAM_KEYS:
         np.testing.assert_allclose(W_dist[k], W_ser[k], rtol=0, atol=2e-6)
 
