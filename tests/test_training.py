@@ -774,6 +774,33 @@ def test_training_resume_equals_uninterrupted(spark, tmp_path):
             )
 
 
+def test_pcnn_val_and_ckpt_roundtrip(spark, tmp_path):
+    """The validation/checkpoint machinery is encoder-generic: PCNN
+    weights save, reload through the S4 loader (pcnn derived from the
+    3H fc width), and evaluate through the production PCNN eval path."""
+    from opennre_spark.functions.weights import (
+        default_model,
+        load_state_dict_npz,
+        save_weights_npz,
+    )
+    from opennre_spark import relations
+    from opennre_spark.operators.training import evaluate_bag_model
+
+    inst = _labeled_instances(spark, n=16)
+    facts = _val_facts_from(spark, inst)
+    _, W = default_model(schema="reduced", pcnn=True)
+    res = evaluate_bag_model(inst, facts, W, schema="reduced", encoder="pcnn")
+    assert 0.0 <= res["auc"] <= 1.0
+    path = str(tmp_path / "pcnn.npz")
+    save_weights_npz(W, path, rel2id=relations.rel2id_for("reduced"))
+    loaded = load_state_dict_npz(path)
+    assert bool(loaded["pcnn"]) is True
+    res2 = evaluate_bag_model(
+        inst, facts, loaded, schema="reduced", encoder="pcnn"
+    )
+    assert math.isclose(res["auc"], res2["auc"], rel_tol=1e-12)
+
+
 def test_bag_training_improves_and_changes_decisions(spark):
     from opennre_spark.functions.weights import default_model
     from opennre_spark.operators.training import train_bag_attention
