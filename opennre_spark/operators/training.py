@@ -756,10 +756,15 @@ def _sentence_partials(weights_bc, class_weights, dropout_p: float,
                 token = np.stack([np.asarray(t) for t in sub["token"]])
                 pos1 = np.stack([np.asarray(t) for t in sub["pos1"]])
                 pos2 = np.stack([np.asarray(t) for t in sub["pos2"]])
+                mask = (
+                    np.stack([np.asarray(t) for t in sub["mask"]])
+                    if "mask" in sub.columns else None
+                )
                 labels = sub["label_id"].to_numpy(dtype=np.int64)
                 lw, ws, nc, npos, npc, grads = gk.sentence_train_batch(
                     token, pos1, pos2, labels, weights,
                     class_weights=class_weights, dropout_p=dropout_p, rng=rng,
+                    mask=mask,
                 )
                 loss_wsum += lw
                 w_sum += ws

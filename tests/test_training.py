@@ -774,6 +774,23 @@ def test_training_resume_equals_uninterrupted(spark, tmp_path):
             )
 
 
+def test_sentence_pcnn_training_runs(spark):
+    """train_sentence_model(encoder='pcnn') end-to-end: the mask column
+    must reach the sentence kernel (regression: the partial generator
+    once dropped it, which would shape-crash on the 3H classifier)."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import train_sentence_model
+
+    inst = _labeled_instances(spark, n=16)
+    _, W0 = default_model(schema="reduced", pcnn=True)
+    W, hist = train_sentence_model(
+        inst, epochs=2, batch_size=8, lr=0.3, weight_decay=1e-5,
+        seed=7, init_weights=W0, encoder="pcnn",
+    )
+    assert len(hist) == 2
+    assert hist[-1]["avg_loss"] < hist[0]["avg_loss"]
+
+
 def test_pcnn_val_and_ckpt_roundtrip(spark, tmp_path):
     """The validation/checkpoint machinery is encoder-generic: PCNN
     weights save, reload through the S4 loader (pcnn derived from the
