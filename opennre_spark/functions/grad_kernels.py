@@ -88,6 +88,11 @@ def sgd_step(weights: dict, grads: dict, lr: float, weight_decay: float) -> dict
     Returns a NEW weight dict (old arrays untouched — executors may
     still hold broadcast references to them)."""
     out = dict(weights)
+    # the truncation-soundness flag describes the PRE-step arrays; the
+    # step can move the PAD word row, so drop it rather than carry it
+    # stale (kernels treat a missing flag as the safe full-length path;
+    # weights._set_trunc_flag recomputes it on any save/load)
+    out.pop("exact_trunc", None)
     for k in PARAM_KEYS:
         p = weights[k]
         g = grads[k] + weight_decay * p.astype(np.float64)
@@ -117,6 +122,7 @@ def adam_step(
     state["t"] += 1
     t = state["t"]
     out = dict(weights)
+    out.pop("exact_trunc", None)  # stale after the step (see sgd_step)
     for k in PARAM_KEYS:
         p = weights[k].astype(np.float64)
         g = grads[k] + weight_decay * p
@@ -498,16 +504,21 @@ def sentence_train_batch(
     token, pos1, pos2, labels, weights,
     class_weights=None, dropout_p: float = 0.0, rng=None, mask=None,
 ):
-    """One batch through CNNEncoder -> dropout -> fc -> CE
-    (SentenceRE.train_model step, sentence_re.py:104-127; SoftmaxNN
-    forward softmax_nn.py:45-50). Same partial-composable SUM contract
-    as bag_att_train_batch; returns
+    """One batch through CNNEncoder -> dropout -> dropout -> fc -> CE
+    (SentenceRE.train_model step, sentence_re.py:104-127). The reference
+    sentence path applies dropout TWICE with independent masks: once at
+    the end of the encoder (cnn_encoder.py:65 self.drop(x)) and once in
+    the classifier (softmax_nn.py:48 self.drop(rep)) — effective keep
+    probability (1-p)^2, mirrored here. Same partial-composable SUM
+    contract as bag_att_train_batch; returns
     (loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads)."""
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
     rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
-    mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
-    rep_d = rep * mask if mask is not None else rep
-    logits = rep_d @ fc_w.T + fc_b
+    enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    rep_d = rep * enc_mask if enc_mask is not None else rep
+    cls_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    rep_dd = rep_d * cls_mask if cls_mask is not None else rep_d
+    logits = rep_dd @ fc_w.T + fc_b
     loss_wsum, w_sum, d_logits = ce_loss_and_dlogits(
         logits, labels, class_weights
     )
@@ -519,9 +530,11 @@ def sentence_train_batch(
 
     grads = zero_grads(weights)
     grads["fc_b"] += d_logits.sum(axis=0)
-    grads["fc_w"] += d_logits.T @ rep_d.astype(np.float64)
+    grads["fc_w"] += d_logits.T @ rep_dd.astype(np.float64)
     d_rep = d_logits @ fc_w.astype(np.float64)
-    if mask is not None:
-        d_rep *= mask
+    if cls_mask is not None:
+        d_rep *= cls_mask
+    if enc_mask is not None:
+        d_rep *= enc_mask
     encoder_backward(d_rep, cache, weights, grads)
     return loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads

@@ -203,10 +203,12 @@ def cnn_forward(
     L = token.shape[1]
     # the truncation is exact ONLY while the PAD word row and position
     # row 0 are zero; a TRAINED checkpoint can carry a non-zero PAD row
-    # (no padding_idx on the word embedding, base_encoder.py:56), so the
-    # loader computes `exact_trunc` and the kernel falls back to the
-    # full padded length when the shortcut would change results
-    if n_real is not None and bool(weights.get("exact_trunc", True)):
+    # (no padding_idx on the word embedding, base_encoder.py:56), so
+    # every weight constructor computes `exact_trunc` and the kernel
+    # falls back to the full padded length when the shortcut would
+    # change results. A dict WITHOUT the flag defaults to the safe
+    # full-length path — only flagged-sound weights take the shortcut.
+    if n_real is not None and bool(weights.get("exact_trunc", False)):
         Lc = int(min(int(n_real.max()) + 1, L))
     else:
         Lc = L

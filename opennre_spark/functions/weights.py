@@ -39,6 +39,27 @@ def build_vocab(words) -> dict[str, int]:
     return vocab
 
 
+def _set_trunc_flag(w: dict) -> dict:
+    """The eval kernel's exact length-truncation (kernels.cnn_forward)
+    is sound only while the PAD word row (the LAST vocab row — [UNK]
+    then [PAD] are appended at the end, base_encoder.py:48-53 /
+    build_vocab) and position row 0 are zero, so every fully-padded
+    window pools to relu(bias). Seed-frozen weights satisfy that by
+    construction and torch keeps the pos rows zero via padding_idx —
+    but the word PAD row is TRAINABLE in the reference (no padding_idx,
+    base_encoder.py:56), so a trained checkpoint can carry a non-zero
+    PAD row. Computed HERE, at every weight-construction site, so no
+    path can hand the kernel a dict without the soundness flag; the
+    kernel defaults missing flags to False (full-length conv, correct
+    for any weights)."""
+    w["exact_trunc"] = np.bool_(
+        not w["word_emb"][-1].any()
+        and not w["pos1_emb"][0].any()
+        and not w["pos2_emb"][0].any()
+    )
+    return w
+
+
 def make_weights(
     num_rel: int,
     vocab_size: int,
@@ -75,7 +96,7 @@ def make_weights(
     fc_w = normal((num_rel, rep_size), 1.0 / np.sqrt(rep_size))
     fc_b = normal((num_rel,), 0.02)
 
-    return {
+    return _set_trunc_flag({
         "word_emb": word_emb,
         "pos1_emb": pos1_emb,
         "pos2_emb": pos2_emb,
@@ -87,7 +108,7 @@ def make_weights(
         "att_diag": np.ones((rep_size,), dtype=np.float32),
         "max_length": np.int64(max_length),
         "pcnn": np.bool_(pcnn),
-    }
+    })
 
 
 # torch state_dict key -> our weight-dict key, for wiki80_cnn_softmax /
@@ -180,7 +201,7 @@ def load_state_dict_npz(
     w["max_length"] = np.int64(w["pos1_emb"].shape[0] // 2)
     w["pcnn"] = np.bool_(w["fc_w"].shape[1] == 3 * hidden)
     _align_fc_to_rel2id(w, raw, rel2id, path)
-    return w
+    return _set_trunc_flag(w)
 
 
 def save_weights_npz(
@@ -242,26 +263,8 @@ def _default_model_cached(
     vocab = build_vocab(relations.vocabulary_words())
     rel2id = relations.rel2id_for(schema)
 
-    def _with_trunc_flag(w: dict) -> dict:
-        """The eval kernel's exact length-truncation (kernels.cnn_forward)
-        assumes the PAD word row and position row 0 are zero, so every
-        fully-padded window pools to relu(bias). Seed-frozen weights
-        satisfy that by construction, and torch keeps the pos rows zero
-        via padding_idx — but the word PAD row is TRAINABLE in the
-        reference (no padding_idx, base_encoder.py:56), so a trained
-        checkpoint can carry a non-zero PAD row. Compute the soundness
-        flag here; the kernel falls back to full-length conv when it is
-        False (correct for any weights, just without the shortcut)."""
-        pad = vocab["[PAD]"]
-        w["exact_trunc"] = np.bool_(
-            not w["word_emb"][pad].any()
-            and not w["pos1_emb"][0].any()
-            and not w["pos2_emb"][0].any()
-        )
-        return w
-
     if ckpt is not None:
-        weights = _with_trunc_flag(load_state_dict_npz(ckpt, rel2id=rel2id))
+        weights = load_state_dict_npz(ckpt, rel2id=rel2id)
         if weights["fc_w"].shape[0] != len(rel2id):
             raise ValueError(
                 f"checkpoint has {weights['fc_w'].shape[0]} relations, "
@@ -275,7 +278,5 @@ def _default_model_cached(
         if bool(weights["pcnn"]) != pcnn:
             raise ValueError("checkpoint encoder kind does not match pcnn flag")
         return vocab, weights
-    weights = _with_trunc_flag(
-        make_weights(num_rel=len(rel2id), vocab_size=len(vocab), pcnn=pcnn)
-    )
+    weights = make_weights(num_rel=len(rel2id), vocab_size=len(vocab), pcnn=pcnn)
     return vocab, weights

@@ -106,6 +106,7 @@ def minhash_dup_pairs(
     text_col: str = "text",
     jaccard_threshold: float = 0.7,
     shingle_n: int = 3,
+    materialize: bool = True,
     **kwargs,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard): LSH blocking then
@@ -117,8 +118,19 @@ def minhash_dup_pairs(
     the join shuffle. Candidates dedup to distinct ID pairs first; each
     side then joins back to one slim (id -> shingles) projection, so
     the payload crosses an exchange once per side, once total per doc.
+
+    materialize=True localCheckpoints the signature and shingle tables
+    first: Catalyst plans a self-join's sides (and the two join-backs)
+    as independent subtrees, so without it the upstream docs lineage
+    would execute four times — recompute, not exchange volume.
     """
     sigs = minhash_signatures(docs, id_col, text_col, shingle_n=shingle_n, **kwargs)
+    sh_tbl = docs.select(
+        F.col(id_col), _token_shingles(text_col, shingle_n).alias("__sh")
+    )
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
+        sh_tbl = sh_tbl.localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -132,9 +144,6 @@ def minhash_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    sh_tbl = docs.select(
-        F.col(id_col), _token_shingles(text_col, shingle_n).alias("__sh")
     )
     cand = cand.join(
         sh_tbl.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),

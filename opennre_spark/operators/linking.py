@@ -99,6 +99,7 @@ def candidate_edges(
     name_col: str = "name",
     jaccard_threshold: float = 0.27,
     k: int = 3,
+    materialize: bool = True,
     **mh_kwargs,
 ) -> DataFrame:
     """Distinct surface forms -> verified similarity edges (name_a,
@@ -111,6 +112,14 @@ def candidate_edges(
     """
     distinct_names = names.select(name_col).distinct()
     sigs = shingle_minhash(distinct_names, name_col, k=k, **mh_kwargs)
+    sh_tbl = distinct_names.select(
+        F.col(name_col), _char_shingles(name_col, k).alias("__sh")
+    )
+    if materialize:
+        # a self-join's sides + two join-backs are independent subtrees:
+        # checkpoint once so the names lineage runs once, not four times
+        sigs = sigs.localCheckpoint(eager=True)
+        sh_tbl = sh_tbl.localCheckpoint(eager=True)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (
@@ -125,9 +134,6 @@ def candidate_edges(
             F.col(f"b.{name_col}").alias("name_b"),
         )
         .dropDuplicates(["name_a", "name_b"])
-    )
-    sh_tbl = distinct_names.select(
-        F.col(name_col), _char_shingles(name_col, k).alias("__sh")
     )
     cand = cand.join(
         sh_tbl.select(F.col(name_col).alias("name_a"), F.col("__sh").alias("sh_a")),

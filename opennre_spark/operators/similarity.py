@@ -114,6 +114,7 @@ def ann_self_join(
     cosine_threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """All-pairs approximate near-neighbor: hyperplane-LSH blocking
@@ -127,6 +128,12 @@ def ann_self_join(
     otherwise be replicated num_bands x 2 times into the join shuffle.
     """
     sigs = hyperplane_signature(embeddings, dim, id_col=id_col, vec_col=vec_col, **lsh_kwargs)
+    vec_tbl = embeddings.select(id_col, vec_col)
+    if materialize:
+        # self-join sides + two vector join-backs are independent
+        # subtrees: checkpoint so the embeddings lineage runs once
+        sigs = sigs.localCheckpoint(eager=True)
+        vec_tbl = vec_tbl.localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -141,7 +148,6 @@ def ann_self_join(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    vec_tbl = embeddings.select(id_col, vec_col)
     cand = cand.join(
         vec_tbl.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
         "id_a",

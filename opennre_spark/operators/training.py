@@ -289,12 +289,18 @@ def sentence_batch_col(epoch: int, n_batches: int, seed: int,
 
 def _bag_partials(
     weights_bc, class_weights, dropout_p: float, bag_size: int, bag_seed: int,
-    sort_cols: list[str], rng_salt: int = 0, method: str = "att",
+    sort_cols: list[str], salt: tuple = (0, 0, 0), method: str = "att",
 ):
     """mapInPandas kernel: ONE partial row per partition with SUM-form
     gradients + meter numerators (grad_kernels contract). dropout_p > 0
-    seeds a per-(salt, partition) Generator — deterministic given the
-    schedule, a different stream than torch's (documented delta)."""
+    seeds a per-(seed, epoch, step, partition) Generator — the full
+    tuple is the seed, so no two steps ever share a stream
+    (deterministic given the schedule; a different stream than torch's,
+    documented delta). The bag_size resize is salted per (epoch, step)
+    too: a bag is visited once per epoch, so this reproduces the
+    reference's resample-per-visit semantics deterministically
+    (data_loader.py:185-190 uses process-global randomness)."""
+    resize_salt = (bag_seed * 1_000_003 + salt[1]) * 1_000_003 + salt[2]
 
     def run(batches):
         weights = weights_bc.value
@@ -303,7 +309,7 @@ def _bag_partials(
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-            rng = np.random.default_rng((rng_salt, pid))
+            rng = np.random.default_rng((*salt, pid))
         acc = None
         loss_wsum = w_sum = n = n_correct = n_pos = n_pos_correct = 0.0
 
@@ -352,7 +358,7 @@ def _bag_partials(
                     cols["mask"] = [np.asarray(m["mask"]) for m in members]
                 sub = pd.DataFrame(cols)
                 if bag_size > 0:
-                    sub = resize_bag(sub, bag_size, h, t, bag_seed)
+                    sub = resize_bag(sub, bag_size, h, t, resize_salt)
                 k = len(sub)
                 tok_list.append(
                     (
@@ -632,6 +638,13 @@ def train_bag_attention(
     batch-mean loss/acc/pos_acc averaged over the epoch's steps)."""
     spark = instances.sparkSession
     pcnn = encoder == "pcnn"
+    if (val_instances is None) != (val_facts is None):
+        raise ValueError(
+            "val_instances and val_facts must be given together — "
+            "bag validation is AUC against the gold facts "
+            "(a lone val_instances would silently skip validation AND "
+            "the best-checkpoint save)"
+        )
     if init_weights is None:
         from ..functions.weights import default_model
 
@@ -641,6 +654,12 @@ def train_bag_attention(
         weights = dict(init_weights)
 
     encoded = encode_labeled(instances, schema=schema, encoder=encoder)
+    if loss_weight:
+        # class_freq_weight_vector counts labels over the encoded
+        # instances — materialize so the count does not replay the full
+        # labeling+encode lineage a second time (the bag table is built
+        # from the same checkpoint, so nothing runs twice)
+        encoded = encoded.localCheckpoint()
     bags = assemble_train_bags(encoded, bag_cap=bag_cap).localCheckpoint()
     n_bags = bags.count()
     if n_bags == 0:
@@ -659,7 +678,7 @@ def train_bag_attention(
             resume_dir, schema
         )
         if w_res is not None:
-            weights = {k: w_res[k] for k in gk.PARAM_KEYS}
+            weights = dict(w_res)  # incl. derived max_length/pcnn keys
         if opt_res is not None and opt_state is not None:
             opt_state.update(opt_res)
         if val_instances is not None and history:
@@ -683,8 +702,7 @@ def train_bag_attention(
                 .mapInPandas(
                     _bag_partials(
                         weights_bc, class_weights, dropout, bag_size, seed,
-                        sort_cols, rng_salt=seed * 7919 + epoch * 101 + step,
-                        method=method,
+                        sort_cols, salt=(seed, epoch, step), method=method,
                     ),
                     schema=_PARTIAL_SCHEMA,
                 )
@@ -739,7 +757,7 @@ def train_bag_attention(
 
 
 def _sentence_partials(weights_bc, class_weights, dropout_p: float,
-                       rng_salt: int = 0):
+                       salt: tuple = (0, 0, 0)):
     def run(batches):
         weights = weights_bc.value
         rng = None
@@ -747,7 +765,7 @@ def _sentence_partials(weights_bc, class_weights, dropout_p: float,
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-            rng = np.random.default_rng((rng_salt, pid))
+            rng = np.random.default_rng((*salt, pid))
         acc = None
         loss_wsum = w_sum = n = n_correct = n_pos = n_pos_correct = 0.0
         for pdf in batches:
@@ -851,7 +869,7 @@ def train_sentence_model(
                 .mapInPandas(
                     _sentence_partials(
                         weights_bc, class_weights, dropout,
-                        rng_salt=seed * 7919 + epoch * 101 + step,
+                        salt=(seed, epoch, step),
                     ),
                     schema=_PARTIAL_SCHEMA,
                 )
