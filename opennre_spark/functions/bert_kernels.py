@@ -210,6 +210,11 @@ _BERT_LAYER_MAP = {
 }
 
 
+# published HF BERT configs (hidden -> num_attention_heads): tiny/mini/
+# small/medium/base/large per google-research/bert + HF model cards
+_HF_STANDARD_HEADS = {128: 2, 256: 4, 512: 8, 768: 12, 1024: 16}
+
+
 def load_bert_state_dict_npz(
     path: str, rel2id: dict | None = None, entity: bool = False
 ) -> dict:
@@ -223,8 +228,10 @@ def load_bert_state_dict_npz(
     consumed as x @ W.T so the HF (out, in) layout stays untransposed).
     Config is shape-derived: hidden from the word embedding, layers by
     counting encoder.layer indices; heads are not recoverable from
-    shapes, so an explicit `__heads__` entry wins, else the HF
-    convention heads = hidden // 64 (bert-base: 768 // 64 = 12).
+    shapes, so an explicit `__heads__` entry wins; without one the
+    loader accepts only the published HF size table
+    (_HF_STANDARD_HEADS, e.g. bert-base 768 -> 12) and REFUSES
+    nonstandard hidden sizes rather than guessing.
 
     rel2id: engine schema map — if the export embeds `__rel2id__`,
     classifier rows are aligned exactly like the CNN loader
@@ -262,7 +269,20 @@ def load_bert_state_dict_npz(
     hidden = w["word_emb"].shape[1]
     w["hidden"] = np.int64(hidden)
     w["layers"] = np.int64(len(layers))
-    heads = int(raw["__heads__"]) if "__heads__" in raw else hidden // 64
+    if "__heads__" in raw:
+        heads = int(raw["__heads__"])
+    elif hidden in _HF_STANDARD_HEADS:
+        # the heads = hidden // 64 convention is only trustworthy for
+        # the published HF size table; guessing it for a nonstandard
+        # hidden would silently change every attention output
+        heads = _HF_STANDARD_HEADS[hidden]
+    else:
+        raise ValueError(
+            f"BERT checkpoint {path!r} lacks __heads__ and hidden size "
+            f"{hidden} is not a standard HF config — re-export with "
+            "tools/export_ckpt.py (which records __heads__) or add a "
+            "__heads__ entry; refusing to guess the head count"
+        )
     if heads <= 0 or hidden % heads != 0:
         raise ValueError(f"invalid head count {heads} for hidden size {hidden}")
     w["heads"] = np.int64(heads)

@@ -138,6 +138,67 @@ def adam_step(
     return out
 
 
+def adamw_step(
+    weights: dict, grads: dict, state: dict, lr: float,
+    betas: tuple = (0.9, 0.999), eps: float = 1e-6,
+) -> dict:
+    """The reference's BERT-branch optimizer (bag_re.py:72-91 /
+    sentence_re.py:62-81): `transformers.AdamW(grouped_params,
+    correct_bias=False)` from transformers==3.4.0 (requirements.txt:2).
+    Semantics, in order, per that implementation:
+
+      m = b1*m + (1-b1)*g;  v = b2*v + (1-b2)*g^2     (raw g — weight
+      p -= lr * m / (sqrt(v) + eps)                    decay is NOT
+      p -= lr * wd * p                                 added to g)
+
+    correct_bias=False => NO bias correction (the BERT convention), and
+    eps defaults to transformers' 1e-6 (not torch Adam's 1e-8). Weight
+    decay is DECOUPLED (applied to p after the Adam update) and uses
+    the reference's hard-coded parameter groups — no_decay =
+    ['bias', 'LayerNorm.bias', 'LayerNorm.weight'] at wd=0.0,
+    everything else at wd=0.01 (bag_re.py:74-88 ignores the ctor's
+    weight_decay arg in this branch; so do we). In our CNN/PCNN weight
+    dicts the bias group is exactly the `*_b` keys (conv_b, fc_b);
+    there are no LayerNorm params outside the BERT kernel.
+
+    State (float64 moments + step counter) is mutated in place; a NEW
+    weight dict is returned."""
+    b1, b2 = betas
+    state["t"] += 1
+    out = dict(weights)
+    out.pop("exact_trunc", None)  # stale after the step (see sgd_step)
+    for k in PARAM_KEYS:
+        p = weights[k].astype(np.float64)
+        g = grads[k]
+        m = state["m"][k]
+        v = state["v"][k]
+        m *= b1
+        m += (1 - b1) * g
+        v *= b2
+        v += (1 - b2) * g * g
+        wd = 0.0 if k.endswith("_b") else 0.01
+        new_p = p - lr * m / (np.sqrt(v) + eps) - lr * wd * p
+        out[k] = new_p.astype(weights[k].dtype)
+    return out
+
+
+def linear_warmup_multiplier(step: int, warmup_step: int,
+                             total_steps: int) -> float:
+    """transformers.get_linear_schedule_with_warmup's LambdaLR lambda
+    (sentence_re.py:84-88): the multiplier applied to the base lr at
+    optimizer step `step` (0-indexed count of COMPLETED steps — the
+    first step runs at lambda(0), i.e. lr 0 when warmup_step > 0;
+    scheduler.step() is called after optimizer.step(),
+    sentence_re.py:124-126). Ramps 0 -> 1 over warmup_step steps, then
+    decays linearly to 0 at total_steps."""
+    if warmup_step > 0 and step < warmup_step:
+        return float(step) / float(max(1, warmup_step))
+    return max(
+        0.0,
+        float(total_steps - step) / float(max(1, total_steps - warmup_step)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # encoder forward (train mode) + backward
 # ---------------------------------------------------------------------------

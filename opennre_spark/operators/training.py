@@ -27,7 +27,10 @@ batch sizes are Poisson(batch_size) rather than exactly fixed
 
 Scale notes (100 TB): the gradient partial is MODEL-sized, independent
 of corpus size, and one row per partition crosses the wire per step —
-a step costs one scan of the (cached, columnar) batch + a driver
+a step costs one scan of the localCheckpointed bag TABLE (the batch
+filter is evaluated during the scan, so an epoch reads the table
+n_batches times; docs/PERFORMANCE.md discusses why large-batch sync
+SGD — few steps per epoch — is the 100 TB operating point) + a driver
 reduce. The word-embedding block — the part that grows with vocabulary
 (~160 MB of float64 at a 400k-row vocab) — is SPARSE on the wire:
 partials ship (touched-row ids, rows) and the driver scatter-adds
@@ -390,16 +393,37 @@ def _bag_partials(
 
 
 def make_optimizer(opt: str, weights: dict, lr: float, weight_decay: float):
-    """The reference's optimizer switch (bag_re.py:67-93, minus the
-    BERT-only AdamW branch — no BERT training path here): returns
-    (step(weights, grads) -> new weights, state-or-None). Raises on
-    unknown names exactly like the reference."""
+    """The reference's full optimizer switch (bag_re.py:67-93 /
+    sentence_re.py:55-82): 'sgd' and 'adam' are the torch optimizers
+    with coupled L2 at `weight_decay`; 'adamw' is the BERT-branch
+    transformers AdamW (bag_re.py:77-88) with correct_bias=False,
+    decoupled decay, and the reference's hard-coded no-decay groups —
+    in that branch the ctor's weight_decay arg is ignored, exactly as
+    the reference ignores it (gk.adamw_step). Returns
+    (step(weights, grads, lr_mult=1.0) -> new weights, state-or-None);
+    lr_mult is the warmup/decay schedule multiplier
+    (gk.linear_warmup_multiplier — reference scheduler wraps ANY of the
+    three optimizers, sentence_re.py:84-88). Raises on unknown names
+    like the reference."""
     if opt == "sgd":
-        return (lambda w, g: gk.sgd_step(w, g, lr, weight_decay)), None
+        return (
+            lambda w, g, lr_mult=1.0: gk.sgd_step(
+                w, g, lr * lr_mult, weight_decay
+            )
+        ), None
     if opt == "adam":
         state = gk.adam_init(weights)
-        return (lambda w, g: gk.adam_step(w, g, state, lr, weight_decay)), state
-    raise ValueError("Invalid optimizer. Must be 'sgd' or 'adam'.")
+        return (
+            lambda w, g, lr_mult=1.0: gk.adam_step(
+                w, g, state, lr * lr_mult, weight_decay
+            )
+        ), state
+    if opt == "adamw":
+        state = gk.adam_init(weights)  # same moment/step-counter layout
+        return (
+            lambda w, g, lr_mult=1.0: gk.adamw_step(w, g, state, lr * lr_mult)
+        ), state
+    raise ValueError("Invalid optimizer. Must be 'sgd' or 'adam' or 'adamw'.")
 
 
 # --- training resumability (the S6 checkpoint/resume semantics applied
@@ -486,15 +510,20 @@ def evaluate_bag_model(
     threshold: float = config.SCORE_THRESHOLD,
     bag_cap: int = 0,
     bag_size: int = 0,
+    tmp_dir: str | None = None,
 ) -> dict:
     """BagRE.eval_model with IN-MEMORY weights (bag_re.py:154-181 +
     the per-epoch val call at 143-151): the weights are written to a
     temporary .npz checkpoint and routed through the PRODUCTION eval
     path (score_instances -> bag_scores_batched -> explode ->
     metrics.bag_eval), so training-time validation exercises exactly
-    the code a later inference run will. Local mode shares the
-    filesystem; on a cluster the temp checkpoint must land on shared
-    storage (same contract as any ckpt= argument).
+    the code a later inference run will.
+
+    tmp_dir: where the temporary checkpoint lands. Executors read this
+    path, so on a real multi-node cluster it MUST be shared storage
+    (NFS/fuse mount) — the default (the driver's tempfile dir) is only
+    correct in local mode. Train loops thread their `val_tmp_dir`
+    through here.
 
     val_facts: gold (h_id, relation, t_id) rows. Returns the bag_eval
     dict (auc, max_micro_f1, p@k, ...)."""
@@ -509,7 +538,9 @@ def evaluate_bag_model(
 
     rel2id = relations.rel2id_for(schema)
     id2rel = {v: k for k, v in rel2id.items()}
-    fd, path = tempfile.mkstemp(suffix=".npz", prefix="spark_graft_val_")
+    fd, path = tempfile.mkstemp(
+        suffix=".npz", prefix="spark_graft_val_", dir=tmp_dir
+    )
     os.close(fd)
     try:
         save_weights_npz(weights, path, rel2id=rel2id)
@@ -536,11 +567,13 @@ def evaluate_bag_model(
 
 def evaluate_sentence_acc(
     val_instances: DataFrame, weights: dict, schema: str = "reduced",
-    encoder: str = "cnn",
+    encoder: str = "cnn", tmp_dir: str | None = None,
 ) -> float:
     """SentenceRE.eval_model accuracy (sentence_re.py:142-161): argmax
     prediction vs gold label over labeled val instances, through the
-    production scoring path with a temp checkpoint."""
+    production scoring path with a temp checkpoint (tmp_dir: must be
+    executor-visible shared storage on a multi-node cluster — see
+    evaluate_bag_model)."""
     import os
     import tempfile
 
@@ -549,7 +582,9 @@ def evaluate_sentence_acc(
     from .scoring import score_instances
 
     rel2id = relations.rel2id_for(schema)
-    fd, path = tempfile.mkstemp(suffix=".npz", prefix="spark_graft_val_")
+    fd, path = tempfile.mkstemp(
+        suffix=".npz", prefix="spark_graft_val_", dir=tmp_dir
+    )
     os.close(fd)
     try:
         save_weights_npz(weights, path, rel2id=rel2id)
@@ -569,14 +604,19 @@ def evaluate_sentence_acc(
 
 def class_freq_weight_vector(encoded: DataFrame, n_rel: int) -> np.ndarray:
     """The BagRELoader loss_weight vector: per-INSTANCE label counts,
-    w = 1 / count**0.05 (data_loader.py:176-178)."""
+    w = 1 / (count + 1)**0.05 — the reference initializes the count
+    vector at ONES and adds one per instance (data_loader.py:147
+    `np.ones`, :174 `+= 1.0`, :176 `1.0 / weight**0.05`), so a class
+    absent from the training data gets weight 1.0, never an inf. Same
+    formula as the oracle-checked a7 query (plans/queries.py)."""
     counts = {
         r["label_id"]: r["cnt"]
         for r in encoded.groupBy("label_id").agg(F.count("*").alias("cnt")).collect()
     }
-    freq = np.array([counts.get(i, 0) for i in range(n_rel)], dtype=np.float64)
-    with np.errstate(divide="ignore"):
-        return (1.0 / freq**0.05).astype(np.float32)
+    freq = np.array(
+        [counts.get(i, 0) + 1 for i in range(n_rel)], dtype=np.float64
+    )
+    return (1.0 / freq**0.05).astype(np.float32)
 
 
 def train_bag_attention(
@@ -601,6 +641,8 @@ def train_bag_attention(
     combine_fanin: int | None = None,
     method: str = "att",
     encoder: str = "cnn",
+    warmup_step: int = 0,
+    val_tmp_dir: str | None = None,
 ) -> tuple[dict, list[dict]]:
     """BagRE.train_model (bag_re.py:100-152) as synchronous distributed
     SGD. `instances` are labeled rows (text, spans, h_id, t_id,
@@ -632,6 +674,19 @@ def train_bag_attention(
     last complete epoch. The batch schedule is a pure function of
     (seed, epoch), so a resumed run replays the identical remaining
     steps — a staged run equals an uninterrupted one (pytest-checked).
+
+    warmup_step: linear-warmup-then-linear-decay lr schedule
+    (gk.linear_warmup_multiplier; the reference wires
+    get_linear_schedule_with_warmup around any optimizer when
+    warmup_step > 0, sentence_re.py:84-88 — BagRE itself has no
+    scheduler, so 0 is the reference-faithful default here). The
+    schedule position is the pure function epoch*n_batches + step, so
+    a resumed run replays identical multipliers (delta vs the
+    reference: an empty hash-mod batch still advances the schedule).
+
+    val_tmp_dir: directory for the per-epoch validation's temporary
+    checkpoint — must be executor-visible shared storage on a
+    multi-node cluster (see evaluate_bag_model).
 
     Returns (trained weight dict, per-epoch metric rows with the same
     AverageMeter semantics as the reference's progress bar: per-step
@@ -687,6 +742,7 @@ def train_bag_attention(
             best_metric = max(best) if best else None
     sort_cols = [c for c in _SORT_COLS if c in instances.columns]
     n_batches = max(1, math.ceil(n_bags / batch_size))
+    total_steps = epochs * n_batches
     sc = spark.sparkContext
     for epoch in range(start_epoch, epochs):
         with_batch = bags.withColumn(
@@ -715,7 +771,16 @@ def train_bag_attention(
                 continue  # hash-mod batch came up empty this epoch
             st, gsum = _reduce_partials(partials, weights)
             w_sum = st["w_sum"]
-            weights = step_fn(weights, gk.unflatten_grads(gsum / w_sum, weights))
+            lr_mult = (
+                gk.linear_warmup_multiplier(
+                    epoch * n_batches + step, warmup_step, total_steps
+                )
+                if warmup_step > 0
+                else 1.0
+            )
+            weights = step_fn(
+                weights, gk.unflatten_grads(gsum / w_sum, weights), lr_mult
+            )
             sums["loss"] += st["loss_wsum"] / w_sum
             sums["acc"] += st["n_correct"] / st["n"]
             sums["pos_acc"] += (
@@ -733,7 +798,7 @@ def train_bag_attention(
             res = evaluate_bag_model(
                 val_instances, val_facts, weights, schema=schema,
                 method=method, encoder=encoder,
-                bag_cap=bag_cap, bag_size=bag_size,
+                bag_cap=bag_cap, bag_size=bag_size, tmp_dir=val_tmp_dir,
             )
             row[f"val_{metric}"] = float(res[metric])
             if best_metric is None or res[metric] > best_metric:
@@ -822,13 +887,29 @@ def train_sentence_model(
     ckpt: str | None = None,
     combine_fanin: int | None = None,
     encoder: str = "cnn",
+    resume_dir: str | None = None,
+    warmup_step: int = 0,
+    val_tmp_dir: str | None = None,
 ) -> tuple[dict, list[dict]]:
     """SentenceRE.train_model (sentence_re.py:96-139): per-sentence CE
     over the softmax classifier, same distributed step shape as
     train_bag_attention but batching INSTANCES (the reference's
     SentenceRELoader batches sentences, not bags). val_instances adds
     per-epoch accuracy validation (metric='acc', sentence_re.py:128-138)
-    with best-checkpoint save when `ckpt` is given."""
+    with best-checkpoint save when `ckpt` is given.
+
+    resume_dir: the same epoch-checkpoint/resume machinery as the bag
+    loop (weights + optimizer moments + atomic manifest per completed
+    epoch) — the reference checkpoints sentence training too
+    (sentence_re.py:133-139). The batch schedule AND the warmup
+    multiplier are pure functions of (seed, epoch, step), so a resumed
+    run replays the identical remaining steps.
+
+    warmup_step: linear warmup + decay (gk.linear_warmup_multiplier) —
+    SentenceRE's scheduler (sentence_re.py:84-88; its ctor default is
+    300). Default 0 here: warmup-off is this engine's established
+    parity surface and the schedule is opt-in like every other
+    reference hyperparameter."""
     spark = instances.sparkSession
     pcnn = encoder == "pcnn"
     if init_weights is None:
@@ -849,13 +930,27 @@ def train_sentence_model(
         if loss_weight
         else None
     )
-    step_fn, _opt_state = make_optimizer(opt, weights, lr, weight_decay)
+    step_fn, opt_state = make_optimizer(opt, weights, lr, weight_decay)
     best_metric = None
+    start_epoch = 0
+    history: list[dict] = []
+    if resume_dir is not None:
+        start_epoch, w_res, opt_res, history = _load_train_state(
+            resume_dir, schema
+        )
+        if w_res is not None:
+            weights = dict(w_res)
+        if opt_res is not None and opt_state is not None:
+            opt_state.update(opt_res)
+        if val_instances is not None and history:
+            best = [h.get("val_acc") for h in history
+                    if h.get("val_acc") is not None]
+            best_metric = max(best) if best else None
     sort_cols = [c for c in _SORT_COLS if c in encoded.columns]
     n_batches = max(1, math.ceil(n_inst / batch_size))
-    history: list[dict] = []
+    total_steps = epochs * n_batches
     sc = spark.sparkContext
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         with_batch = encoded.withColumn(
             "__batch", sentence_batch_col(epoch, n_batches, seed, sort_cols)
         )
@@ -882,7 +977,16 @@ def train_sentence_model(
                 continue
             st, gsum = _reduce_partials(partials, weights)
             w_sum = st["w_sum"]
-            weights = step_fn(weights, gk.unflatten_grads(gsum / w_sum, weights))
+            lr_mult = (
+                gk.linear_warmup_multiplier(
+                    epoch * n_batches + step, warmup_step, total_steps
+                )
+                if warmup_step > 0
+                else 1.0
+            )
+            weights = step_fn(
+                weights, gk.unflatten_grads(gsum / w_sum, weights), lr_mult
+            )
             sums["loss"] += st["loss_wsum"] / w_sum
             sums["acc"] += st["n_correct"] / st["n"]
             sums["pos_acc"] += (
@@ -898,7 +1002,8 @@ def train_sentence_model(
         }
         if val_instances is not None:
             acc = evaluate_sentence_acc(
-                val_instances, weights, schema=schema, encoder=encoder
+                val_instances, weights, schema=schema, encoder=encoder,
+                tmp_dir=val_tmp_dir,
             )
             row["val_acc"] = acc
             if best_metric is None or acc > best_metric:
@@ -911,6 +1016,8 @@ def train_sentence_model(
                         weights, ckpt, rel2id=relations.rel2id_for(schema)
                     )
         history.append(row)
+        if resume_dir is not None:
+            _save_train_epoch(resume_dir, epoch, weights, opt_state, row, schema)
     if ckpt is not None and val_instances is None:
         from .. import relations
         from ..functions.weights import save_weights_npz

@@ -610,7 +610,13 @@ def _kg_train_then_extract(spark, sf_dir):
             pos.unionByName(neg), epochs=3, batch_size=64, lr=0.01,
             opt="adam", weight_decay=1e-5, seed=42, ckpt=ckpt,
         )
-        assert hist[-1]["avg_pos_acc"] > 0.9, "training failed to converge"
+        # explicit raise, not assert: a convergence failure must
+        # surface even under `python -O` (asserts are stripped)
+        if not hist[-1]["avg_pos_acc"] > 0.9:
+            raise RuntimeError(
+                "training failed to converge: final avg_pos_acc="
+                f"{hist[-1]['avg_pos_acc']:.4f} <= 0.9"
+            )
         out = extract_triples(
             t, mode="sentence", threshold=0.5, ckpt=ckpt
         ).orderBy("subj", "pred", "obj")

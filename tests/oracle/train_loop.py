@@ -110,32 +110,48 @@ def naive_sentence_loss(rows, W, class_weights=None):
     return loss_wsum / w_sum, preds
 
 
-def _serial_step(W, acc_g, w_sum, lr, weight_decay, opt, opt_state):
+def _serial_step(W, acc_g, w_sum, lr, weight_decay, opt, opt_state,
+                 lr_mult=1.0):
     g = gk.unflatten_grads(acc_g / w_sum, W)
     if opt == "adam":
-        return gk.adam_step(W, g, opt_state, lr, weight_decay)
-    return gk.sgd_step(W, g, lr, weight_decay)
+        return gk.adam_step(W, g, opt_state, lr * lr_mult, weight_decay)
+    if opt == "adamw":
+        return gk.adamw_step(W, g, opt_state, lr * lr_mult)
+    return gk.sgd_step(W, g, lr * lr_mult, weight_decay)
 
 
 def serial_train_bags(
     bags_by_epoch_batch, W0, lr, weight_decay, class_weights=None,
-    opt="sgd", method="att",
+    opt="sgd", method="att", warmup_step=0,
 ):
     """Run the EXACT schedule serially, one bag per kernel call.
 
     bags_by_epoch_batch: list (per epoch) of lists (per step) of
     (members, label) bags — the same assignment the distributed loop
-    used. Returns (weights, history) with the reference's AverageMeter
-    semantics (per-step batch means averaged over the epoch)."""
+    used. warmup_step enables the linear-warmup schedule with the
+    distributed loop's position convention (epoch*n_batches + step;
+    empty batches advance the position). Returns (weights, history)
+    with the reference's AverageMeter semantics (per-step batch means
+    averaged over the epoch)."""
     W = dict(W0)
-    opt_state = gk.adam_init(W) if opt == "adam" else None
+    opt_state = gk.adam_init(W) if opt in ("adam", "adamw") else None
     history = []
-    for epoch_batches in bags_by_epoch_batch:
+    n_epochs = len(bags_by_epoch_batch)
+    for epoch, epoch_batches in enumerate(bags_by_epoch_batch):
+        n_batches = len(epoch_batches)
         sums = {"loss": 0.0, "acc": 0.0, "pos_acc": 0.0}
         n_steps = 0
-        for batch in epoch_batches:
+        for step, batch in enumerate(epoch_batches):
             if not batch:
                 continue
+            lr_mult = (
+                gk.linear_warmup_multiplier(
+                    epoch * n_batches + step, warmup_step,
+                    n_epochs * n_batches,
+                )
+                if warmup_step > 0
+                else 1.0
+            )
             acc_g = None
             loss_wsum = w_sum = 0.0
             n_correct = n_pos = n_pos_correct = 0
@@ -160,7 +176,9 @@ def serial_train_bags(
                 n_pos_correct += npc
                 g = gk.flatten_grads(grads)
                 acc_g = g if acc_g is None else acc_g + g
-            W = _serial_step(W, acc_g, w_sum, lr, weight_decay, opt, opt_state)
+            W = _serial_step(
+                W, acc_g, w_sum, lr, weight_decay, opt, opt_state, lr_mult
+            )
             sums["loss"] += loss_wsum / w_sum
             sums["acc"] += n_correct / len(batch)
             sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0

@@ -646,11 +646,107 @@ def test_distributed_adam_matches_serial(spark):
         np.testing.assert_allclose(W_dist[k], W_ser[k], rtol=0, atol=2e-6)
 
 
+def test_adamw_step_semantics():
+    """transformers==3.4.0 AdamW with correct_bias=False, as the
+    reference constructs it for the BERT branch (bag_re.py:77-88):
+    NO bias correction, eps=1e-6, DECOUPLED weight decay applied
+    after the Adam update with the reference's hard-coded groups —
+    wd=0.01 for weights, wd=0.0 for biases (the no_decay list)."""
+    W = tiny_weights(np.float32)
+    rng = np.random.default_rng(4)
+    grads = {
+        k: rng.standard_normal(W[k].shape).astype(np.float64)
+        for k in gk.PARAM_KEYS
+    }
+    lr, eps, b1, b2 = 0.01, 1e-6, 0.9, 0.999
+    state = gk.adam_init(W)
+    out = gk.adamw_step(W, grads, state, lr)
+    m = {k: (1 - b1) * grads[k] for k in gk.PARAM_KEYS}
+    v = {k: (1 - b2) * grads[k] ** 2 for k in gk.PARAM_KEYS}
+    for k in gk.PARAM_KEYS:
+        p0 = W[k].astype(np.float64)
+        wd = 0.0 if k.endswith("_b") else 0.01
+        # correct_bias=False: raw m, v — no (1-b^t) rescale
+        exp = p0 - lr * m[k] / (np.sqrt(v[k]) + eps) - lr * wd * p0
+        np.testing.assert_allclose(
+            out[k], exp.astype(np.float32), rtol=3e-5,
+            err_msg=f"adamw step mismatch for {k}",
+        )
+    assert state["t"] == 1
+    # biases really are decay-free: zero grad => bias unchanged,
+    # while a weight with zero grad still shrinks by lr*wd
+    zg = {k: np.zeros_like(W[k], dtype=np.float64) for k in gk.PARAM_KEYS}
+    st2 = gk.adam_init(W)
+    out2 = gk.adamw_step(W, zg, st2, lr)
+    np.testing.assert_array_equal(out2["fc_b"], W["fc_b"])
+    np.testing.assert_array_equal(out2["conv_b"], W["conv_b"])
+    assert not np.array_equal(out2["fc_w"], W["fc_w"])
+    np.testing.assert_allclose(
+        out2["fc_w"],
+        (W["fc_w"].astype(np.float64) * (1 - lr * 0.01)).astype(np.float32),
+        rtol=1e-6,
+    )
+    # second step: hand-rolled recurrence, still no bias correction
+    g2 = {k: np.ones_like(W[k], dtype=np.float64) for k in gk.PARAM_KEYS}
+    out3 = gk.adamw_step(out, g2, state, lr)
+    k = "fc_w"
+    m2 = b1 * m[k] + (1 - b1) * g2[k]
+    v2 = b2 * v[k] + (1 - b2) * g2[k] ** 2
+    p1 = out[k].astype(np.float64)
+    exp3 = p1 - lr * m2 / (np.sqrt(v2) + eps) - lr * 0.01 * p1
+    np.testing.assert_allclose(out3[k], exp3.astype(np.float32), rtol=3e-5)
+    assert state["t"] == 2
+
+
+def test_linear_warmup_multiplier():
+    """get_linear_schedule_with_warmup's lambda (sentence_re.py:84-88):
+    0 at step 0, linear ramp to 1 at warmup, linear decay to 0 at
+    total_steps."""
+    w, T = 4, 10
+    got = [gk.linear_warmup_multiplier(s, w, T) for s in range(T + 1)]
+    exp = [0.0, 0.25, 0.5, 0.75, 1.0, 5 / 6, 4 / 6, 3 / 6, 2 / 6, 1 / 6, 0.0]
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+    # warmup_step=0 => pure linear decay from 1 (transformers semantics)
+    assert gk.linear_warmup_multiplier(0, 0, 10) == 1.0
+    # never negative past the end
+    assert gk.linear_warmup_multiplier(15, 4, 10) == 0.0
+
+
+def test_distributed_adamw_warmup_matches_serial(spark):
+    """opt='adamw' + linear warmup through the same schedule harness:
+    decoupled decay, no-decay bias group, and the per-step lr
+    multiplier (pure function of epoch*n_batches+step) must all evolve
+    identically in the distributed and serial loops."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import train_bag_attention
+
+    inst = _labeled_instances(spark, n=24)
+    _, W0 = default_model(schema="reduced")
+    epochs, batch_size, lr, seed, warmup = 2, 8, 0.01, 23, 3
+
+    W_dist, hist_dist = train_bag_attention(
+        inst, epochs=epochs, batch_size=batch_size, lr=lr,
+        weight_decay=1e-4,  # ignored by the adamw branch, like the ref
+        seed=seed, init_weights=W0, opt="adamw", warmup_step=warmup,
+    )
+    n_bags = sum(len(b) for b in _collect_bag_schedule(
+        spark, inst, 1, 1, seed)[0])
+    n_batches = max(1, math.ceil(n_bags / batch_size))
+    schedule = _collect_bag_schedule(spark, inst, epochs, n_batches, seed)
+    W_ser, hist_ser = serial_train_bags(
+        schedule, dict(W0), lr, 1e-4, opt="adamw", warmup_step=warmup
+    )
+    for hd, hs in zip(hist_dist, hist_ser):
+        assert math.isclose(hd["avg_loss"], hs["avg_loss"], rel_tol=1e-6)
+    for k in gk.PARAM_KEYS:
+        np.testing.assert_allclose(W_dist[k], W_ser[k], rtol=0, atol=2e-6)
+
+
 def test_unknown_optimizer_raises(spark):
     from opennre_spark.operators.training import make_optimizer
 
     with pytest.raises(ValueError, match="Invalid optimizer"):
-        make_optimizer("adamw", {}, 0.1, 0.0)
+        make_optimizer("rmsprop", {}, 0.1, 0.0)
 
 
 def _val_facts_from(spark, inst):
@@ -774,6 +870,38 @@ def test_training_resume_equals_uninterrupted(spark, tmp_path):
             )
 
 
+def test_sentence_resume_equals_uninterrupted(spark, tmp_path):
+    """The sentence loop's resume machinery (same epoch-checkpoint
+    scheme as the bag loop; the reference checkpoints sentence training
+    too, sentence_re.py:133-139): a staged run (1 epoch, then resume
+    for 2 more) equals an uninterrupted 3-epoch run for BOTH
+    optimizers — adam's moments must survive the restart."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import train_sentence_model
+
+    inst = _labeled_instances(spark, n=24)
+    _, W0 = default_model(schema="reduced")
+    for opt, lr in (("sgd", 0.3), ("adam", 0.01)):
+        kw = dict(
+            batch_size=8, lr=lr, weight_decay=1e-4, seed=31,
+            init_weights=W0, opt=opt,
+        )
+        W_full, hist_full = train_sentence_model(inst, epochs=3, **kw)
+        rdir = str(tmp_path / f"sent_resume_{opt}")
+        train_sentence_model(inst, epochs=1, resume_dir=rdir, **kw)
+        W_res, hist_res = train_sentence_model(
+            inst, epochs=3, resume_dir=rdir, **kw
+        )
+        assert len(hist_res) == len(hist_full) == 3
+        for hf, hr in zip(hist_full, hist_res):
+            assert math.isclose(hf["avg_loss"], hr["avg_loss"], rel_tol=1e-9)
+        for k in gk.PARAM_KEYS:
+            np.testing.assert_allclose(
+                W_res[k], W_full[k], rtol=0, atol=1e-6,
+                err_msg=f"sentence {opt}: param {k} diverged across resume",
+            )
+
+
 def test_sentence_pcnn_training_runs(spark):
     """train_sentence_model(encoder='pcnn') end-to-end: the mask column
     must reach the sentence kernel (regression: the partial generator
@@ -836,7 +964,11 @@ def test_bag_training_improves_and_changes_decisions(spark):
 
 
 def test_loss_weight_vector_semantics(spark):
-    """w = 1/count**0.05 over instance labels (data_loader.py:176-178)."""
+    """w = 1/(count+1)**0.05 over instance labels — the reference's
+    count vector starts at np.ones and adds one per instance
+    (data_loader.py:147,174-176), so an absent class weighs exactly
+    1.0 (finite; an inf here would poison any weighted loss that
+    touches it, e.g. resuming on a different instance set)."""
     from opennre_spark.operators.training import (
         class_freq_weight_vector,
         encode_labeled,
@@ -848,12 +980,12 @@ def test_loss_weight_vector_semantics(spark):
     counts = np.zeros(8)
     for r in inst.groupBy("label_id").count().collect():
         counts[r["label_id"]] = r["count"]
-    with np.errstate(divide="ignore"):
-        expected = 1.0 / counts ** 0.05
+    expected = 1.0 / (counts + 1.0) ** 0.05
     got = np.asarray(w, dtype=np.float64)
-    mask = counts > 0
-    np.testing.assert_allclose(got[mask], expected[mask], rtol=1e-6)
-    assert np.all(np.isinf(got[~mask]))
+    assert counts.sum() > 0 and (counts == 0).any()  # both branches real
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got[counts == 0], 1.0)
 
 
 def test_distant_supervision_labeling(spark):

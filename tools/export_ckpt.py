@@ -33,8 +33,18 @@ import sys
 
 
 def main() -> None:
+    heads = None
+    argv = list(sys.argv)
+    if "--heads" in argv:
+        i = argv.index("--heads")
+        heads = int(argv[i + 1])
+        del argv[i : i + 2]
+    sys.argv = argv
     if len(sys.argv) not in (3, 4):
-        sys.exit("usage: export_ckpt.py <ckpt.pth.tar> <out.npz> [rel2id.json]")
+        sys.exit(
+            "usage: export_ckpt.py <ckpt.pth.tar> <out.npz> "
+            "[rel2id.json] [--heads N]"
+        )
     try:
         import torch
     except ImportError:
@@ -52,6 +62,21 @@ def main() -> None:
     if len(sys.argv) == 4:
         with open(sys.argv[3]) as f:
             arrays["__rel2id__"] = np.str_(json.dumps(json.load(f)))
+    # BERT exports must carry the attention head count: it is not
+    # recoverable from tensor shapes, and the loader refuses to guess
+    # for nonstandard hidden sizes (bert_kernels._HF_STANDARD_HEADS).
+    emb_key = "sentence_encoder.bert.embeddings.word_embeddings.weight"
+    if emb_key in arrays:
+        hidden = int(arrays[emb_key].shape[1])
+        standard = {128: 2, 256: 4, 512: 8, 768: 12, 1024: 16}
+        if heads is None:
+            heads = standard.get(hidden)
+        if heads is None:
+            sys.exit(
+                f"hidden size {hidden} is not a standard HF config; "
+                "pass --heads N so the export records the head count"
+            )
+        arrays["__heads__"] = np.int64(heads)
     np.savez(sys.argv[2], **arrays)
     print(f"wrote {len(arrays)} arrays to {sys.argv[2]}")
 
