@@ -19,6 +19,8 @@ views of the same files.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -574,17 +576,32 @@ def _q_minhash_dedup(spark, sf_dir):
 def _kg_train_then_extract(spark, sf_dir):
     """The reference README's full lifecycle (train -> save best ->
     load -> infer, README.md:127-141 + pretrain.py:147) composed
-    end-to-end on the Spark surface: distributed training writes a
-    loadable .npz checkpoint, the production pipeline consumes it via
-    the S4 ckpt source, and the output is the trained model's triple
-    table. Rows-only; the ckpt roundtrip itself is hash-exactly
-    verified in tests/test_training.py."""
+    end-to-end on the Spark surface, now carrying the whole training
+    query battery in ONE driver entry (the r3 battery outgrew the
+    driver's 50-query window — kg_train_bag_att and kg_train_sentence
+    fold in here):
+
+      1. bag-attention training with `loss_weight=True, dropout=0.5`
+         — the two nondeterminism-bearing reference paths
+         (data_loader.py:147,174-176 freq weights; the p=0.5 dropout
+         default of every encoder) exercised end-to-end under the
+         driver, with a convergence gate;
+      2. the trained best checkpoint consumed by the PRODUCTION
+         pipeline via the S4 ckpt source -> the returned triple table;
+      3. a short SentenceRE.train_model run (sentence_re.py:96-139)
+         with its own loss-decrease gate, so the sentence loop stays
+         driver-exercised too.
+
+    Rows-only; the ckpt roundtrip / parity math is hash-exactly
+    verified in tests/test_training.py. All gates raise explicitly (a
+    bare assert would vanish under `python -O`)."""
     import os
     import tempfile
 
     from ..operators.training import (
         distant_supervision_instances,
         train_bag_attention,
+        train_sentence_model,
     )
     from ..pipeline import extract_triples
     from ..sources.transcripts import gold_df, transcripts_df
@@ -603,27 +620,43 @@ def _kg_train_then_extract(spark, sf_dir):
         F.pmod(F.xxhash64("conv_id", "turn_idx", "h_id", "t_id"), F.lit(8))
         == 0
     )
+    train_inst = pos.unionByName(neg)
     fd, ckpt = tempfile.mkstemp(suffix=".npz", prefix="spark_graft_q_")
     os.close(fd)
     try:
+        # 4 epochs at lr 0.02: dropout=0.5 roughly doubles the steps
+        # the same corpus needed without it (deterministic: the dropout
+        # stream is seeded per (seed, epoch, step, partition))
         _, hist = train_bag_attention(
-            pos.unionByName(neg), epochs=3, batch_size=64, lr=0.01,
+            train_inst, epochs=4, batch_size=64, lr=0.02,
             opt="adam", weight_decay=1e-5, seed=42, ckpt=ckpt,
+            loss_weight=True, dropout=0.5,
         )
-        # explicit raise, not assert: a convergence failure must
-        # surface even under `python -O` (asserts are stripped)
         if not hist[-1]["avg_pos_acc"] > 0.9:
             raise RuntimeError(
-                "training failed to converge: final avg_pos_acc="
+                "bag training failed to converge: final avg_pos_acc="
                 f"{hist[-1]['avg_pos_acc']:.4f} <= 0.9"
+            )
+        if any(not math.isfinite(h["avg_loss"]) for h in hist):
+            raise RuntimeError(
+                f"non-finite weighted loss in training history: {hist}"
             )
         out = extract_triples(
             t, mode="sentence", threshold=0.5, ckpt=ckpt
         ).orderBy("subj", "pred", "obj")
         rows = out.collect()  # materialize before the temp ckpt is removed
-        return spark.createDataFrame(rows, out.schema)
     finally:
         os.remove(ckpt)
+    _, sent_hist = train_sentence_model(
+        train_inst, epochs=2, batch_size=1024, lr=0.1, weight_decay=1e-5,
+        seed=42,
+    )
+    if not sent_hist[-1]["avg_loss"] < sent_hist[0]["avg_loss"]:
+        raise RuntimeError(
+            "sentence training loss did not decrease: "
+            f"{sent_hist[0]['avg_loss']:.4f} -> {sent_hist[-1]['avg_loss']:.4f}"
+        )
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _q_winnow_fingerprints(spark, sf_dir):
@@ -648,13 +681,6 @@ def _q_ngram_jaccard(spark, sf_dir):
         _docs_dup_view(spark, sf_dir), jaccard_threshold=0.6, shingle_n=3
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
-def _q_simhash(spark, sf_dir):
-    from ..operators.dedup import simhash
-
-    _reg(spark, sf_dir, "documents")
-    return simhash(spark.table("documents"))
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -816,17 +842,6 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
-def _q_entity_linking(spark, sf_dir):
-    from ..operators.linking import link_entities
-
-    from .. import relations
-
-    names = spark.createDataFrame(
-        [(n,) for _, n, _ in relations.gazetteer()], "name string"
-    )
-    return link_entities(names)
-
-
 # surface-form variants of the nation names (a table DuckDB can see), so
 # the FULL linking pass — MinHash-LSH blocking + exact-Jaccard verify +
 # connected components + min-name canonicalization — gets a DuckDB
@@ -872,73 +887,6 @@ def _kg_bert(spark, sf_dir):
     # smaller corpus: the seeded 4-layer transformer is ~20x the CNN cost
     return extract_triples(
         transcripts_df(spark, 16), mode="sentence", encoder="bert"
-    )
-
-
-def _kg_train_bag_att(spark, sf_dir):
-    """Distributed training end-to-end (A3 + BagRE.train_model,
-    bag_re.py:100-152): distant-supervision labeling from the gold KB,
-    2 epochs of synchronous data-parallel SGD over fact-keyed bags,
-    per-epoch AverageMeter rows. Rows-only (an optimizer loop is not
-    ANSI-SQL-expressible); parity vs the serial loop + FD grad checks
-    is pytest-verified (tests/test_training.py)."""
-    from ..operators.training import (
-        distant_supervision_instances,
-        train_bag_attention,
-    )
-    from ..sources.transcripts import gold_df, transcripts_df
-
-    n = 24  # fixed: the query exercises the loop, not corpus scale
-    t = transcripts_df(spark, n)
-    facts = gold_df(spark, n).select(
-        "h_id", F.col("pred").alias("relation"), "t_id"
-    ).distinct()
-    inst = distant_supervision_instances(t, facts)
-    # large-batch synchronous SGD (few sync barriers — the 100 TB shape)
-    _, hist = train_bag_attention(
-        inst, epochs=2, batch_size=256, lr=0.4, weight_decay=1e-5, seed=42
-    )
-    return spark.createDataFrame(
-        [
-            (
-                h["epoch"], h["n_steps"], float(h["avg_loss"]),
-                float(h["avg_acc"]), float(h["avg_pos_acc"]),
-            )
-            for h in hist
-        ],
-        "epoch int, n_steps int, avg_loss double, avg_acc double, "
-        "avg_pos_acc double",
-    )
-
-
-def _kg_train_sentence(spark, sf_dir):
-    """SentenceRE.train_model (sentence_re.py:96-139) distributed —
-    instance-batched CE over the softmax classifier. Rows-only."""
-    from ..operators.training import (
-        distant_supervision_instances,
-        train_sentence_model,
-    )
-    from ..sources.transcripts import gold_df, transcripts_df
-
-    n = 24  # fixed: the query exercises the loop, not corpus scale
-    t = transcripts_df(spark, n)
-    facts = gold_df(spark, n).select(
-        "h_id", F.col("pred").alias("relation"), "t_id"
-    ).distinct()
-    inst = distant_supervision_instances(t, facts)
-    _, hist = train_sentence_model(
-        inst, epochs=2, batch_size=1024, lr=0.4, weight_decay=1e-5, seed=42
-    )
-    return spark.createDataFrame(
-        [
-            (
-                h["epoch"], h["n_steps"], float(h["avg_loss"]),
-                float(h["avg_acc"]), float(h["avg_pos_acc"]),
-            )
-            for h in hist
-        ],
-        "epoch int, n_steps int, avg_loss double, avg_acc double, "
-        "avg_pos_acc double",
     )
 
 
@@ -1206,7 +1154,34 @@ _EXTRA_ORACLES: dict[str, str] = {
 
 
 def queries() -> dict:
+    """Exactly 50 entries, ORACLE-BEARING FIRST: the driver's
+    correctness gate evaluates the first 50 queries, so every entry
+    with a DuckDB oracle (37) precedes every rows-only demo (13) and
+    nothing this function returns goes unevaluated (VERDICT r3 #1 —
+    the r3 battery had 55 entries and the last 5, two of them
+    previously oracle-green, silently fell outside the window).
+    Folded/trimmed vs r3 to fit: kg_train_bag_att + kg_train_sentence
+    live inside kg_train_then_extract now; dedup_simhash is subsumed
+    by dedup_simhash_pairs (which computes it), kg_entity_linking by
+    the oracle-checked link_nation_variants over the same
+    link_entities operator, and kg_triples_nyt10_one by the
+    nyt10_att (schema) + bag_one/fixedsize (aggregator) entries."""
+    # --- 37 oracle-checked entries first ---
     out = {name: _make_sql_query(name) for name in _SPECS}
+    out["dedup_minhash_lsh"] = _q_minhash_dedup
+    out["dedup_minhash_pairs"] = _q_minhash_pairs
+    out["dedup_ngram_jaccard"] = _q_ngram_jaccard
+    out["text_winnow_fingerprints"] = _q_winnow_fingerprints
+    out["ann_lsh_self_join"] = _q_ann_self_join
+    out["ann_cosine_pairs"] = _q_ann_pairs
+    out["dedup_embedding_clusters"] = _q_embedding_dedup
+    out["ann_ivf_exhaustive"] = _q_ann_ivf_exhaustive
+    out["link_nation_variants"] = _q_linking_nations
+    out["w2_pr_curve_dist"] = _q_w2_dist
+    out["text_document_stats"] = _q_doc_stats
+    out["media_frame_sample"] = _q_media_frames
+    out["media_resize_plan"] = _q_media_resize
+    # --- 13 rows-only entries (not ANSI-SQL-expressible) last ---
     out["kg_triples_sentence"] = _kg_query("sentence")
     out["kg_triples_bag_att"] = _kg_query("att")
     out["kg_triples_bag_one"] = _kg_query("one")
@@ -1217,31 +1192,19 @@ def queries() -> dict:
     # NYT10 53-relation schema end-to-end: softmax mass spreads over 53
     # classes, so the bag emission threshold drops accordingly
     out["kg_triples_nyt10_att"] = _kg_query("att", schema="nyt10", threshold=0.05)
-    out["kg_triples_nyt10_one"] = _kg_query("one", schema="nyt10", threshold=0.05)
     out["kg_triples_pcnn"] = _kg_pcnn
     out["kg_triples_bert"] = _kg_bert
     out["kg_triples_canonical"] = _kg_canonical
-    out["dedup_minhash_lsh"] = _q_minhash_dedup
-    out["dedup_minhash_pairs"] = _q_minhash_pairs
-    out["dedup_ngram_jaccard"] = _q_ngram_jaccard
-    out["text_winnow_fingerprints"] = _q_winnow_fingerprints
-    out["dedup_simhash"] = _q_simhash
     out["dedup_simhash_pairs"] = _q_simhash_pairs
-    out["ann_lsh_self_join"] = _q_ann_self_join
-    out["ann_cosine_pairs"] = _q_ann_pairs
-    out["dedup_embedding_clusters"] = _q_embedding_dedup
     out["ann_ivf_topk"] = _q_ann_ivf
-    out["ann_ivf_exhaustive"] = _q_ann_ivf_exhaustive
-    out["link_nation_variants"] = _q_linking_nations
-    out["w2_pr_curve_dist"] = _q_w2_dist
-    out["text_document_stats"] = _q_doc_stats
-    out["kg_entity_linking"] = _q_entity_linking
-    out["kg_train_bag_att"] = _kg_train_bag_att
-    out["kg_train_sentence"] = _kg_train_sentence
     out["kg_train_then_extract"] = _kg_train_then_extract
     out["media_feature_extract"] = _q_media_features
-    out["media_frame_sample"] = _q_media_frames
-    out["media_resize_plan"] = _q_media_resize
+    if len(out) != 50:
+        raise RuntimeError(
+            f"query battery has {len(out)} entries; the driver "
+            "evaluates exactly the first 50 — keep it at 50 with "
+            "oracle-bearing entries first"
+        )
     return out
 
 
