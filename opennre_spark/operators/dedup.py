@@ -184,6 +184,50 @@ def minhash_dedup(
     )
 
 
+def df_annotated_shingles(
+    sh_tbl: DataFrame, id_col: str = "doc_id",
+    materialize_dfreq: bool = False,
+) -> DataFrame:
+    """The document-frequency annotation stage of the exact n-gram
+    join: explode (id, shingle-array) to (id, size, shingle) rows and
+    join each row with its shingle's global document frequency.
+
+    This is the one shuffle in the exact-join pipeline that is keyed by
+    SHINGLE, so boilerplate shingles (one phrase shared by 30% of a
+    corpus) are textbook hot keys. The intended mitigation is AQE's
+    skew-join split (spark.sql.adaptive.skewJoin) — but there is a
+    PLAN-SHAPE trap, measured in this sandbox (docs/PLANS.md round 4):
+    OptimizeSkewedJoin pattern-matches ONLY
+    `SMJ(Sort(ShuffleQueryStage), Sort(ShuffleQueryStage))`, and when
+    the dfreq aggregate feeds the join directly, the final
+    HashAggregate sits between the shuffle read and the Sort, so the
+    rule never fires — at ANY threshold. The r3 plan note assumed AQE
+    covered this join; it did not.
+
+    materialize_dfreq=True (what ngram_jaccard_pairs passes when its
+    own materialize flag is set) localCheckpoints the tiny
+    (shingle, count) table first, which (a) restores the splittable
+    plan shape — tests/test_dataops.py shows SortMergeJoin(skew=true)
+    + `AQEShuffleRead skewed` engaging on a boilerplate fixture and
+    staying absent in the fused shape — and (b) costs little: the
+    dfreq rows are two slim columns, already shrunk by the map-side
+    partial count.
+
+    Downstream, the per-document row_number window immediately
+    re-partitions by doc id (bounded groups), so the split's extra
+    partitions never constrain a later stage. Salting is deliberately
+    NOT used: with the materialized shape AQE handles join-side skew
+    natively, and a salt would force an extra de-salt shuffle."""
+    tok = sh_tbl.select(
+        F.col(id_col), F.size("__sh").alias("__sz"),
+        F.explode("__sh").alias("__s"),
+    )
+    dfreq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if materialize_dfreq:
+        dfreq = dfreq.localCheckpoint(eager=True)
+    return tok.join(dfreq, "__s")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -201,7 +245,11 @@ def ngram_jaccard_pairs(
     self-join as independent subtrees, so without it the whole
     tokenize -> df-count -> rank lineage executes twice (2x compute,
     not 2x exchange volume — the checkpoint trades one slim disk
-    materialization for that recompute; same results either way).
+    materialization for that recompute; same results either way). It
+    also materializes the (shingle, df) table before the df-annotation
+    join, which is what makes that join's boilerplate-shingle skew
+    AQE-splittable — see df_annotated_shingles for the measured
+    plan-shape trap.
 
     Prefix-filter principle (SSJoin/PPJoin family): order every
     document's shingles by ascending global document frequency (rarest
@@ -227,14 +275,9 @@ def ngram_jaccard_pairs(
     sh_tbl = docs.select(
         F.col(id_col), _token_shingles(text_col, shingle_n).alias("__sh")
     )
-    tok = sh_tbl.select(
-        F.col(id_col), F.size("__sh").alias("__sz"),
-        F.explode("__sh").alias("__s"),
-    )
-    dfreq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy("__df", "__s")
     prefix = (
-        tok.join(dfreq, "__s")
+        df_annotated_shingles(sh_tbl, id_col, materialize_dfreq=materialize)
         .withColumn("__rnk", F.row_number().over(w))
         .filter(
             F.col("__rnk")

@@ -275,6 +275,81 @@ def test_winnow_fingerprints_detect_overlap(spark):
     assert len(fps[1] & fps[3]) == 0
 
 
+def test_ngram_df_join_aqe_skew_split_engages(spark):
+    """Executed-plan evidence for the boilerplate-shingle skew story
+    (VERDICT r3 watch item): on a corpus where one 3-token boilerplate
+    phrase appears in half the documents, the df-annotation join's
+    materialized shape lets AQE's OptimizeSkewedJoin split the hot
+    shingle's partition (SortMergeJoin(skew=true) + `AQEShuffleRead
+    skewed` in the final adaptive plan) — and the r3 assumption that
+    AQE covers the UN-materialized shape is demonstrably false: with
+    the dfreq aggregate fused under the join, the rule's strict
+    SMJ(Sort(ShuffleRead), Sort(ShuffleRead)) pattern never matches,
+    at any threshold. Same rows either way.
+
+    Thresholds are scaled to the fixture (the 256 MB default exists
+    for real clusters); the *shape* of the decision — hot partition >
+    max(threshold, factor * median) — is what's under test."""
+    import re
+
+    conf_keys = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        # 80% of docs are the bare boilerplate phrase (one shingle, one
+        # key — LZ4 map-output compression flattens milder skews below
+        # the detector's byte ratio at this scale; rows, not bytes, are
+        # what the fixture controls)
+        boiler = "as an ai"  # 3 tokens -> exactly one hot shingle
+        docs = spark.range(60_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 8, F.lit(boiler))
+            .otherwise(
+                F.concat_ws(" ", F.transform(
+                    F.sequence(F.lit(0), F.lit(4)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        ((F.col("id") * 37 + i) % 50_000).cast("string"),
+                    ),
+                ))
+            ).alias("text"),
+        )
+        sh = docs.select(
+            "doc_id", dedup._token_shingles("text", 3).alias("__sh")
+        )
+
+        def run(materialize_dfreq):
+            ann = dedup.df_annotated_shingles(
+                sh, "doc_id", materialize_dfreq=materialize_dfreq
+            )
+            rows = ann.collect()
+            plan = ann._jdf.queryExecution().executedPlan().toString()
+            return rows, plan
+
+        rows_fused, plan_fused = run(False)
+        rows_mat, plan_mat = run(True)
+        # the materialized shape splits the hot partition...
+        assert len(re.findall(r"skew=true", plan_mat)) >= 1, plan_mat[:2000]
+        assert "AQEShuffleRead skewed" in plan_mat
+        # ...the fused shape is structurally ineligible (documented trap)
+        assert "skew=true" not in plan_fused
+        # and the split changes the plan only, never the rows
+        key = lambda r: (r["doc_id"], r["__s"])
+        assert sorted(map(key, rows_mat)) == sorted(map(key, rows_fused))
+        hot = [r for r in rows_mat if r["__s"] == boiler]
+        assert len(hot) == 48_000 and all(r["__df"] == 48_000 for r in hot)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_ngram_jaccard_hypothesis_vs_bruteforce(spark):
     """Property test of the prefix-filter lemma over adversarial small
     corpora: tiny docs, identical docs, near-identical docs, thresholds
