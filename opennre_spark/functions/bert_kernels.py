@@ -266,6 +266,15 @@ def load_bert_state_dict_npz(
     if entity:
         take("sentence_encoder.linear.weight", "ent_w", False)
         take("sentence_encoder.linear.bias", "ent_b", False)
+    # BagAttention checkpoints carry the diag parameter under its torch
+    # state-dict name "diag" (bag_attention.py:29); sentence-model
+    # checkpoints have none — default to the ones init
+    if "diag" in raw:
+        w["att_diag"] = np.asarray(raw["diag"], dtype=np.float32)
+    elif "att_diag" in raw:
+        w["att_diag"] = np.asarray(raw["att_diag"], dtype=np.float32)
+    else:
+        w["att_diag"] = np.ones(w["fc_w"].shape[1], dtype=np.float32)
     hidden = w["word_emb"].shape[1]
     w["hidden"] = np.int64(hidden)
     w["layers"] = np.int64(len(layers))
@@ -290,6 +299,48 @@ def load_bert_state_dict_npz(
 
     _align_fc_to_rel2id(w, raw, rel2id, path)
     return w
+
+
+def save_bert_state_dict_npz(
+    weights: dict, path: str, rel2id: dict | None = None
+) -> None:
+    """Checkpoint sink for TRAINED BERT weights: writes the HF-style
+    dotted-key .npz rendition (the exact inverse of
+    load_bert_state_dict_npz's key map, transposes included), so a
+    fine-tuned model saves into the SAME S4 format a reference export
+    produces and reloads through the production loader — the
+    train -> save -> load -> infer lifecycle is one format end to end.
+    Records __heads__ (the loader refuses to guess nonstandard head
+    counts) and the engine's __rel2id__. Atomic (tmp + rename)."""
+    import json
+    import os
+
+    pfx = "sentence_encoder.bert."
+    arrays: dict = {}
+
+    def put(key, ours, transpose):
+        a = np.asarray(weights[ours], dtype=np.float32)
+        arrays[key] = np.ascontiguousarray(a.T) if transpose else a
+
+    for suffix, (ours, tr) in _BERT_FIXED_MAP.items():
+        put(pfx + suffix, ours, tr)
+    for i in range(int(weights["layers"])):
+        for suffix, (ours, tr) in _BERT_LAYER_MAP.items():
+            put(f"{pfx}encoder.layer.{i}.{suffix}", f"l{i}_{ours}", tr)
+    put("fc.weight", "fc_w", False)
+    put("fc.bias", "fc_b", False)
+    if "ent_w" in weights:
+        put("sentence_encoder.linear.weight", "ent_w", False)
+        put("sentence_encoder.linear.bias", "ent_b", False)
+    if "att_diag" in weights:
+        put("diag", "att_diag", False)  # torch state-dict name
+    arrays["__heads__"] = np.int64(int(weights["heads"]))
+    if rel2id is not None:
+        arrays["__rel2id__"] = np.str_(json.dumps(rel2id))
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
 
 
 def default_bert_model(
@@ -350,4 +401,7 @@ def _default_bert_model_cached(
         np.float32
     )
     W["fc_b"] = np.zeros(len(rel2id), np.float32)
+    # BagAttention's diag parameter (ones init, bag_attention.py:29) —
+    # present so the BERT bag-att model trains/evals like the CNN one
+    W["att_diag"] = np.ones(rep, np.float32)
     return vocab, W

@@ -40,24 +40,65 @@ from __future__ import annotations
 
 import numpy as np
 
-# canonical parameter order for flatten/unflatten (the SGD state vector)
+# canonical parameter order for flatten/unflatten (the SGD state
+# vector) — the CNN/PCNN family. BERT weight dicts derive their key
+# order from param_keys() below; "word_emb" stays first in BOTH
+# families so split_word_grad's sparse-transport layout is shared.
 PARAM_KEYS = (
     "word_emb", "pos1_emb", "pos2_emb", "conv_w", "conv_b",
     "fc_w", "fc_b", "att_diag",
 )
 
+_BERT_LAYER_PARAMS = (
+    "q_w", "q_b", "k_w", "k_b", "v_w", "v_b", "o_w", "o_b",
+    "att_ln_g", "att_ln_b", "i_w", "i_b", "f_w", "f_b",
+    "ffn_ln_g", "ffn_ln_b",
+)
+
+
+def param_keys(weights: dict) -> tuple:
+    """Deterministic trainable-parameter order for a weight dict:
+    the fixed CNN/PCNN tuple when `conv_w` is present, else the BERT
+    family's derived order (embeddings, per-layer blocks, pooler,
+    optional entity head, classifier). Every optimizer/flatten/resume
+    code path keys off this so the two encoder families share one
+    training loop."""
+    if "conv_w" in weights:
+        return PARAM_KEYS
+    keys = ["word_emb", "pos_emb", "type_emb", "emb_ln_g", "emb_ln_b"]
+    for i in range(int(weights["layers"])):
+        keys.extend(f"l{i}_{s}" for s in _BERT_LAYER_PARAMS)
+    keys += ["pool_w", "pool_b"]
+    if "ent_w" in weights:
+        keys += ["ent_w", "ent_b"]
+    keys += ["fc_w", "fc_b"]
+    if "att_diag" in weights:  # BagAttention's diag (bag_attention.py:29)
+        keys.append("att_diag")
+    return tuple(keys)
+
 
 def zero_grads(weights: dict) -> dict:
-    return {k: np.zeros_like(weights[k], dtype=np.float64) for k in PARAM_KEYS}
+    return {
+        k: np.zeros_like(weights[k], dtype=np.float64)
+        for k in param_keys(weights)
+    }
 
 
-def flatten_grads(grads: dict) -> np.ndarray:
-    return np.concatenate([grads[k].ravel() for k in PARAM_KEYS])
+def flatten_grads(grads: dict, weights: dict | None = None) -> np.ndarray:
+    if weights is not None:
+        keys = param_keys(weights)
+    elif "conv_w" in grads:
+        keys = PARAM_KEYS
+    else:
+        # zero_grads builds in param_keys order, so insertion order of a
+        # kernel-produced grads dict IS the canonical order
+        keys = tuple(grads)
+    return np.concatenate([grads[k].ravel() for k in keys])
 
 
 def unflatten_grads(vec: np.ndarray, weights: dict) -> dict:
     out, off = {}, 0
-    for k in PARAM_KEYS:
+    for k in param_keys(weights):
         n = weights[k].size
         out[k] = vec[off : off + n].reshape(weights[k].shape)
         off += n
@@ -93,7 +134,7 @@ def sgd_step(weights: dict, grads: dict, lr: float, weight_decay: float) -> dict
     # stale (kernels treat a missing flag as the safe full-length path;
     # weights._set_trunc_flag recomputes it on any save/load)
     out.pop("exact_trunc", None)
-    for k in PARAM_KEYS:
+    for k in param_keys(weights):
         p = weights[k]
         g = grads[k] + weight_decay * p.astype(np.float64)
         out[k] = (p.astype(np.float64) - lr * g).astype(p.dtype)
@@ -102,10 +143,11 @@ def sgd_step(weights: dict, grads: dict, lr: float, weight_decay: float) -> dict
 
 def adam_init(weights: dict) -> dict:
     """Fresh Adam state: first/second moments + step counter."""
+    keys = param_keys(weights)
     return {
         "t": 0,
-        "m": {k: np.zeros_like(weights[k], dtype=np.float64) for k in PARAM_KEYS},
-        "v": {k: np.zeros_like(weights[k], dtype=np.float64) for k in PARAM_KEYS},
+        "m": {k: np.zeros_like(weights[k], dtype=np.float64) for k in keys},
+        "v": {k: np.zeros_like(weights[k], dtype=np.float64) for k in keys},
     }
 
 
@@ -123,7 +165,7 @@ def adam_step(
     t = state["t"]
     out = dict(weights)
     out.pop("exact_trunc", None)  # stale after the step (see sgd_step)
-    for k in PARAM_KEYS:
+    for k in param_keys(weights):
         p = weights[k].astype(np.float64)
         g = grads[k] + weight_decay * p
         m = state["m"][k]
@@ -157,9 +199,10 @@ def adamw_step(
     the reference's hard-coded parameter groups — no_decay =
     ['bias', 'LayerNorm.bias', 'LayerNorm.weight'] at wd=0.0,
     everything else at wd=0.01 (bag_re.py:74-88 ignores the ctor's
-    weight_decay arg in this branch; so do we). In our CNN/PCNN weight
-    dicts the bias group is exactly the `*_b` keys (conv_b, fc_b);
-    there are no LayerNorm params outside the BERT kernel.
+    weight_decay arg in this branch; so do we). In our weight dicts
+    that group is exactly the `*_b` keys (every torch bias AND every
+    LayerNorm.bias maps to a `_b`-suffixed key) plus the `*_ln_g`
+    LayerNorm gains (= torch LayerNorm.weight, BERT dicts only).
 
     State (float64 moments + step counter) is mutated in place; a NEW
     weight dict is returned."""
@@ -167,7 +210,7 @@ def adamw_step(
     state["t"] += 1
     out = dict(weights)
     out.pop("exact_trunc", None)  # stale after the step (see sgd_step)
-    for k in PARAM_KEYS:
+    for k in param_keys(weights):
         p = weights[k].astype(np.float64)
         g = grads[k]
         m = state["m"][k]
@@ -176,7 +219,7 @@ def adamw_step(
         m += (1 - b1) * g
         v *= b2
         v += (1 - b2) * g * g
-        wd = 0.0 if k.endswith("_b") else 0.01
+        wd = 0.0 if (k.endswith("_b") or k.endswith("_ln_g")) else 0.01
         new_p = p - lr * m / (np.sqrt(v) + eps) - lr * wd * p
         out[k] = new_p.astype(weights[k].dtype)
     return out
@@ -238,7 +281,24 @@ def encoder_forward_train(token, pos1, pos2, weights, mask=None):
     the reference does). mask=None -> CNNEncoder (rep width H); mask
     (B, L) in {0,1,2,3} -> PCNNEncoder piecewise pooling
     (pcnn_encoder.py:54-80, rep width 3H: each segment's max over
-    relu(conv - 100*(1-gate))). Returns (rep, cache for backward)."""
+    relu(conv - 100*(1-gate))). Returns (rep, cache for backward).
+
+    BERT weight dicts (no conv_w) dispatch to the transformer train
+    forward (bert_grad_kernels.bert_rep_forward_train): there `mask`
+    carries the ATTENTION mask and pos1/pos2 the entity-marker
+    positions — the column layout encode_labeled emits for both
+    families — which is what lets all three bag trainers fine-tune
+    BERT through the same kernels (the reference's
+    example/train_bag_bert.py branch)."""
+    if "conv_w" not in weights:
+        from . import bert_grad_kernels as bgk
+
+        rep, cache = bgk.bert_rep_forward_train(
+            token, mask, np.asarray(pos1).reshape(-1),
+            np.asarray(pos2).reshape(-1), weights,
+        )
+        cache["__bert__"] = True
+        return rep, cache
     x = _embed(token, pos1, pos2, weights)
     conv, xp = _conv_full(x, weights["conv_w"], weights["conv_b"])
     cache = {"token": token, "pos1": pos1, "pos2": pos2, "xp": xp}
@@ -273,7 +333,14 @@ def encoder_backward(d_rep, cache, weights, grads):
     embed, accumulating into grads (float64). MaxPool routes each
     channel's gradient to its (first) argmax position; ReLU gates on
     output > 0; the PCNN -100 segment shift is additive-constant, so
-    d(shifted)/d(conv) = 1 and segments simply accumulate into d_conv."""
+    d(shifted)/d(conv) = 1 and segments simply accumulate into d_conv.
+    BERT caches (from the dispatch above) route to the transformer
+    backward instead."""
+    if cache.get("__bert__"):
+        from . import bert_grad_kernels as bgk
+
+        bgk.bert_rep_backward(d_rep, cache, weights, grads)
+        return
     w = weights["conv_w"]
     H, C, K = w.shape
     xp = cache["xp"]
@@ -389,7 +456,13 @@ def bag_att_train_batch(
     B = len(labels)
 
     rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
-    enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    # the per-sentence dropout models the CNN/PCNN encoder's trailing
+    # self.drop (cnn_encoder.py:65); BERT encoders have no trailing
+    # dropout (bert_encoder.py:23-33), so only later sites apply there
+    enc_mask = (
+        _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+        if "conv_w" in weights else None
+    )
     rep_d = rep * enc_mask if enc_mask is not None else rep
 
     # attention per bag (train branch): query = gold label
@@ -463,7 +536,13 @@ def bag_avg_train_batch(
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
     B = len(labels)
     rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
-    enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    # the per-sentence dropout models the CNN/PCNN encoder's trailing
+    # self.drop (cnn_encoder.py:65); BERT encoders have no trailing
+    # dropout (bert_encoder.py:23-33), so only later sites apply there
+    enc_mask = (
+        _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+        if "conv_w" in weights else None
+    )
     rep_d = rep * enc_mask if enc_mask is not None else rep
 
     bag_rep = np.empty((B, fc_w.shape[1]), dtype=rep.dtype)
@@ -512,7 +591,13 @@ def bag_one_train_batch(
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
     B = len(labels)
     rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
-    enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    # the per-sentence dropout models the CNN/PCNN encoder's trailing
+    # self.drop (cnn_encoder.py:65); BERT encoders have no trailing
+    # dropout (bert_encoder.py:23-33), so only later sites apply there
+    enc_mask = (
+        _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+        if "conv_w" in weights else None
+    )
     rep_d = rep * enc_mask if enc_mask is not None else rep
 
     inst_logits = rep_d @ fc_w.T + fc_b  # (nsum, N), selection only
@@ -575,7 +660,13 @@ def sentence_train_batch(
     (loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads)."""
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
     rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
-    enc_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    # the per-sentence dropout models the CNN/PCNN encoder's trailing
+    # self.drop (cnn_encoder.py:65); BERT encoders have no trailing
+    # dropout (bert_encoder.py:23-33), so only later sites apply there
+    enc_mask = (
+        _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+        if "conv_w" in weights else None
+    )
     rep_d = rep * enc_mask if enc_mask is not None else rep
     cls_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
     rep_dd = rep_d * cls_mask if cls_mask is not None else rep_d
@@ -589,6 +680,80 @@ def sentence_train_batch(
     n_pos = int(pos.sum())
     n_pos_correct = int(((pred == labels) & pos).sum())
 
+    grads = zero_grads(weights)
+    grads["fc_b"] += d_logits.sum(axis=0)
+    grads["fc_w"] += d_logits.T @ rep_dd.astype(np.float64)
+    d_rep = d_logits @ fc_w.astype(np.float64)
+    if cls_mask is not None:
+        d_rep *= cls_mask
+    if enc_mask is not None:
+        d_rep *= enc_mask
+    encoder_backward(d_rep, cache, weights, grads)
+    return loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads
+
+
+# ---------------------------------------------------------------------------
+# multi-label sentence model (SigmoidNN + BCEWithLogits): train step
+# ---------------------------------------------------------------------------
+
+def bce_loss_and_dlogits(logits, targets):
+    """nn.BCEWithLogitsLoss over flattened elements, SUM form (the
+    reference flattens (B, N-1) to one vector and takes the mean,
+    multi_label_sentence_re.py:122). Numerically stable composition:
+    loss = max(z,0) - z*y + log1p(exp(-|z|)); dL/dz = sigmoid(z) - y.
+    Returns (loss_sum, n_elements, d_logits_SUM)."""
+    z = logits.astype(np.float64)
+    y = targets.astype(np.float64)
+    loss = np.maximum(z, 0.0) - z * y + np.log1p(np.exp(-np.abs(z)))
+    d = 1.0 / (1.0 + np.exp(-z)) - y
+    return float(loss.sum()), float(z.size), d
+
+
+def multilabel_sentence_train_batch(
+    token, pos1, pos2, labels, weights,
+    dropout_p: float = 0.0, rng=None, mask=None,
+):
+    """MultiLabelSentenceRE.train_model step
+    (multi_label_sentence_re.py:96-136): SigmoidNN forward
+    (encoder -> dropout -> fc, sigmoid_nn.py:28-37), then the
+    single-label int target becomes a one-hot vector, BOTH the target
+    and the logits drop the NA column 0 (`[:, 1:]`,
+    multi_label_sentence_re.py:117-121), and BCEWithLogitsLoss runs
+    over the flattened (B, N-1) elements. The meter numerators follow
+    the reference's train-time definitions: n = B*(N-1) ELEMENTS,
+    n_correct = elementwise (sigmoid >= 0.5) matches
+    (multi_label_sentence_re.py:123-124); n_pos/n_pos_correct restrict
+    to the y==1 elements (recall-style extra, not in the reference's
+    bar). Encoder family dispatch as everywhere: CNN/PCNN weights use
+    `mask` as the segment mask with the encoder's trailing dropout,
+    BERT weights use it as the attention mask (no trailing dropout).
+    Same SUM-form partial-composable contract; w_sum counts ELEMENTS."""
+    fc_w, fc_b = weights["fc_w"], weights["fc_b"]
+    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
+    enc_mask = (
+        _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+        if "conv_w" in weights else None
+    )
+    rep_d = rep * enc_mask if enc_mask is not None else rep
+    cls_mask = _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
+    rep_dd = rep_d * cls_mask if cls_mask is not None else rep_d
+    logits = rep_dd @ fc_w.T + fc_b
+    B, N = logits.shape
+    onehot = np.zeros((B, N), dtype=np.float64)
+    onehot[np.arange(B), labels] = 1.0
+    loss_wsum, w_sum, d_z = bce_loss_and_dlogits(
+        logits[:, 1:], onehot[:, 1:]
+    )
+    sig = 1.0 / (1.0 + np.exp(-logits[:, 1:].astype(np.float64)))
+    pred = (sig >= 0.5).astype(np.int64)
+    y1 = onehot[:, 1:].astype(np.int64)
+    n = float(pred.size)
+    n_correct = float((pred == y1).sum())
+    n_pos = float(y1.sum())
+    n_pos_correct = float(((pred == 1) & (y1 == 1)).sum())
+
+    d_logits = np.zeros((B, N), dtype=np.float64)
+    d_logits[:, 1:] = d_z
     grads = zero_grads(weights)
     grads["fc_b"] += d_logits.sum(axis=0)
     grads["fc_w"] += d_logits.T @ rep_dd.astype(np.float64)

@@ -184,6 +184,17 @@ def load_state_dict_npz(
     mismatch) — see _align_fc_to_rel2id.
     """
     raw = dict(np.load(path))
+    if "sentence_encoder.bert.embeddings.word_embeddings.weight" in raw:
+        # BERT-family checkpoint (CLS or entity encoder): delegate to
+        # the transformer loader so one S4 entry point serves both
+        # encoder families (pretrain.py routes by model name the same
+        # way)
+        from .bert_kernels import load_bert_state_dict_npz
+
+        return load_bert_state_dict_npz(
+            path, rel2id=rel2id,
+            entity="sentence_encoder.linear.weight" in raw,
+        )
     w: dict[str, np.ndarray] = {}
     for src, dst in _STATE_DICT_MAP.items():
         if src in raw:
@@ -212,9 +223,20 @@ def save_weights_npz(
     writes the mapped-key .npz rendition that load_state_dict_npz accepts,
     embedding the engine's rel2id (`__rel2id__`) so a reload can never
     silently permute classifier rows across relation labels. Atomic
-    (tmp + rename) so a concurrent reader never sees a torn file."""
+    (tmp + rename) so a concurrent reader never sees a torn file.
+
+    BERT weight dicts (no conv_w) delegate to the HF-dotted-key sink
+    (bert_kernels.save_bert_state_dict_npz) — same dispatch as the
+    loader, so the train loop's ckpt/resume machinery is
+    encoder-family-agnostic."""
     import json
     import os
+
+    if "conv_w" not in weights:
+        from .bert_kernels import save_bert_state_dict_npz
+
+        save_bert_state_dict_npz(weights, path, rel2id=rel2id)
+        return
 
     arrays = {k: np.asarray(weights[k]) for k in (
         "word_emb", "pos1_emb", "pos2_emb", "conv_w", "conv_b",

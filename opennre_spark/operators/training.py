@@ -138,6 +138,10 @@ def _reduce_partials(partials, weights):
 # (B, L, H) conv map + im2col cache exactly like EVAL_MICRO_BATCH
 # bounds the eval path (reference bs=256, bag_attention.py:140)
 _TRAIN_MICRO_SENTS = 512
+# BERT caches every layer's (B, heads, L, L) attention matrix for the
+# backward pass, so its micro-batch is smaller (the reference's BERT
+# example scripts run batch_size 16-64 for the same reason)
+_BERT_TRAIN_MICRO_SENTS = 64
 
 
 def distant_supervision_instances(
@@ -197,11 +201,19 @@ def encode_labeled(
     (the reference's DataLoader caches nothing and re-tokenizes every
     epoch — data_loader.py:196; doing that in a distributed loop would
     be the dominant cost). Emits token/pos1/pos2 (+ the PCNN segment
-    mask for encoder='pcnn') as int32 arrays."""
+    mask for encoder='pcnn') as int32 arrays.
+
+    encoder='bert'/'bert_entity' emits the BERT input set instead —
+    token = wordpiece ids with entity markers (bert_encoder.py:74-86),
+    mask = the attention mask (T15), pos1/pos2 = length-1 arrays
+    holding the [unused0]/[unused2] marker positions (the entity
+    encoder's gather indices; the CLS path ignores them) — so one
+    column layout serves both encoder families downstream."""
+    bert = encoder in ("bert", "bert_entity")
     pcnn = encoder == "pcnn"
     extra = (
         [T.StructField("mask", T.ArrayType(T.IntegerType()), False)]
-        if pcnn else []
+        if (pcnn or bert) else []
     )
     out_schema = T.StructType(
         [f for f in instances.schema.fields if f.name in _ENC_COLS]
@@ -215,27 +227,46 @@ def encode_labeled(
     keep = [f.name for f in instances.schema.fields if f.name in _ENC_COLS]
 
     def run(batches):
-        from ..functions.encoding import encode_batch
-        from ..functions.weights import default_model
+        if bert:
+            from .. import config
+            from ..functions.bert_encoding import bert_encode_batch
+            from ..functions.bert_kernels import default_bert_model
 
-        vocab, weights = default_model(schema=schema, pcnn=pcnn)
-        pad_id, unk_id = vocab["[PAD]"], vocab["[UNK]"]
-        L = int(weights["max_length"])
+            vocab, _ = default_bert_model(
+                entity=(encoder == "bert_entity"), schema=schema
+            )
+            L = config.BERT_MAX_LENGTH
+        else:
+            from ..functions.encoding import encode_batch
+            from ..functions.weights import default_model
+
+            vocab, weights = default_model(schema=schema, pcnn=pcnn)
+            pad_id, unk_id = vocab["[PAD]"], vocab["[UNK]"]
+            L = int(weights["max_length"])
         for pdf in batches:
             if not len(pdf):
                 continue
-            enc = encode_batch(
+            args = (
                 pdf["text"].tolist(),
                 pdf["h_begin"].to_numpy(), pdf["h_end"].to_numpy(),
                 pdf["t_begin"].to_numpy(), pdf["t_end"].to_numpy(),
-                vocab, L, pad_id, unk_id, with_mask=pcnn,
             )
             out = pdf[keep].copy()
-            out["token"] = list(enc["token"].astype(np.int32))
-            out["pos1"] = list(enc["pos1"].astype(np.int32))
-            out["pos2"] = list(enc["pos2"].astype(np.int32))
-            if pcnn:
-                out["mask"] = list(enc["mask"].astype(np.int32))
+            if bert:
+                enc = bert_encode_batch(*args, vocab, L)
+                out["token"] = list(enc["token"].astype(np.int32))
+                out["pos1"] = list(enc["pos1"].astype(np.int32).reshape(-1, 1))
+                out["pos2"] = list(enc["pos2"].astype(np.int32).reshape(-1, 1))
+                out["mask"] = list(enc["att_mask"].astype(np.int32))
+            else:
+                enc = encode_batch(
+                    *args, vocab, L, pad_id, unk_id, with_mask=pcnn
+                )
+                out["token"] = list(enc["token"].astype(np.int32))
+                out["pos1"] = list(enc["pos1"].astype(np.int32))
+                out["pos2"] = list(enc["pos2"].astype(np.int32))
+                if pcnn:
+                    out["mask"] = list(enc["mask"].astype(np.int32))
             yield out
 
     return instances.mapInPandas(run, schema=out_schema)
@@ -307,6 +338,10 @@ def _bag_partials(
 
     def run(batches):
         weights = weights_bc.value
+        micro = (
+            _BERT_TRAIN_MICRO_SENTS if "conv_w" not in weights
+            else _TRAIN_MICRO_SENTS
+        )
         rng = None
         if dropout_p > 0:
             from pyspark import TaskContext
@@ -374,7 +409,7 @@ def _bag_partials(
                 scope_list.append((n_sents, n_sents + k))
                 labels.append(int(lab))
                 n_sents += k
-                if n_sents >= _TRAIN_MICRO_SENTS:
+                if n_sents >= micro:
                     flush(tok_list, scope_list, labels)
                     tok_list, scope_list, labels, n_sents = [], [], [], 0
         flush(tok_list, scope_list, labels)
@@ -447,8 +482,9 @@ def _save_train_epoch(resume_dir: str, epoch: int, weights: dict,
         rel2id=relations.rel2id_for(schema),
     )
     if opt_state is not None:
-        arrays = {f"m__{k}": opt_state["m"][k] for k in gk.PARAM_KEYS}
-        arrays.update({f"v__{k}": opt_state["v"][k] for k in gk.PARAM_KEYS})
+        keys = gk.param_keys(weights)
+        arrays = {f"m__{k}": opt_state["m"][k] for k in keys}
+        arrays.update({f"v__{k}": opt_state["v"][k] for k in keys})
         arrays["t"] = np.int64(opt_state["t"])
         tmp = os.path.join(resume_dir, f".opt_{epoch}.tmp{os.getpid()}")
         with open(tmp, "wb") as f:
@@ -492,10 +528,11 @@ def _load_train_state(resume_dir: str, schema: str):
     opt_path = os.path.join(resume_dir, f"opt_{last}.npz")
     if os.path.exists(opt_path):
         raw = dict(np.load(opt_path))
+        keys = gk.param_keys(weights)
         opt_state = {
             "t": int(raw["t"]),
-            "m": {k: raw[f"m__{k}"] for k in gk.PARAM_KEYS},
-            "v": {k: raw[f"v__{k}"] for k in gk.PARAM_KEYS},
+            "m": {k: raw[f"m__{k}"] for k in keys},
+            "v": {k: raw[f"v__{k}"] for k in keys},
         }
     return last + 1, weights, opt_state, history
 
@@ -701,9 +738,20 @@ def train_bag_attention(
             "the best-checkpoint save)"
         )
     if init_weights is None:
-        from ..functions.weights import default_model
+        if encoder in ("bert", "bert_entity"):
+            # the reference's BERT bag branch (example/train_bag_bert.py:
+            # BERT encoder + att/avg/one bag model, opt='adamw'); the
+            # bag kernels fine-tune it through the same
+            # encoder_forward_train/encoder_backward dispatch
+            from ..functions.bert_kernels import default_bert_model
 
-        _, w0 = default_model(schema=schema, pcnn=pcnn)
+            _, w0 = default_bert_model(
+                entity=(encoder == "bert_entity"), schema=schema
+            )
+        else:
+            from ..functions.weights import default_model
+
+            _, w0 = default_model(schema=schema, pcnn=pcnn)
         weights = dict(w0)
     else:
         weights = dict(init_weights)
@@ -822,11 +870,15 @@ def train_bag_attention(
 
 
 def _sentence_partials(weights_bc, class_weights, dropout_p: float,
-                       salt: tuple = (0, 0, 0)):
+                       salt: tuple = (0, 0, 0),
+                       bert_dropout_p: float = 0.0,
+                       multilabel: bool = False):
     def run(batches):
         weights = weights_bc.value
+        bert = "conv_w" not in weights
+        micro = _BERT_TRAIN_MICRO_SENTS if bert else _TRAIN_MICRO_SENTS
         rng = None
-        if dropout_p > 0:
+        if dropout_p > 0 or bert_dropout_p > 0:
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0
@@ -834,8 +886,8 @@ def _sentence_partials(weights_bc, class_weights, dropout_p: float,
         acc = None
         loss_wsum = w_sum = n = n_correct = n_pos = n_pos_correct = 0.0
         for pdf in batches:
-            for lo in range(0, len(pdf), _TRAIN_MICRO_SENTS):
-                sub = pdf.iloc[lo : lo + _TRAIN_MICRO_SENTS]
+            for lo in range(0, len(pdf), micro):
+                sub = pdf.iloc[lo : lo + micro]
                 token = np.stack([np.asarray(t) for t in sub["token"]])
                 pos1 = np.stack([np.asarray(t) for t in sub["pos1"]])
                 pos2 = np.stack([np.asarray(t) for t in sub["pos2"]])
@@ -844,14 +896,40 @@ def _sentence_partials(weights_bc, class_weights, dropout_p: float,
                     if "mask" in sub.columns else None
                 )
                 labels = sub["label_id"].to_numpy(dtype=np.int64)
-                lw, ws, nc, npos, npc, grads = gk.sentence_train_batch(
-                    token, pos1, pos2, labels, weights,
-                    class_weights=class_weights, dropout_p=dropout_p, rng=rng,
-                    mask=mask,
-                )
+                if multilabel:
+                    # SigmoidNN + BCE (multi_label_sentence_re.py);
+                    # encoder family resolves inside the kernel's
+                    # encoder_forward_train dispatch
+                    lw, ws, nc, npos, npc, grads = (
+                        gk.multilabel_sentence_train_batch(
+                            token, pos1, pos2, labels, weights,
+                            dropout_p=dropout_p, rng=rng, mask=mask,
+                        )
+                    )
+                elif bert:
+                    from ..functions import bert_grad_kernels as bgk
+
+                    # mask column = attention mask; pos1/pos2 are the
+                    # (B, 1) entity-marker positions
+                    lw, ws, nc, npos, npc, grads = (
+                        bgk.bert_sentence_train_batch(
+                            token, mask, pos1.reshape(-1), pos2.reshape(-1),
+                            labels, weights, class_weights=class_weights,
+                            dropout_p=dropout_p,
+                            bert_dropout_p=bert_dropout_p, rng=rng,
+                        )
+                    )
+                else:
+                    lw, ws, nc, npos, npc, grads = gk.sentence_train_batch(
+                        token, pos1, pos2, labels, weights,
+                        class_weights=class_weights, dropout_p=dropout_p,
+                        rng=rng, mask=mask,
+                    )
                 loss_wsum += lw
                 w_sum += ws
-                n += len(labels)
+                # the multilabel meter denominator is ELEMENTS
+                # (B * (N-1), multi_label_sentence_re.py:124), not rows
+                n += ws if multilabel else len(labels)
                 n_correct += nc
                 n_pos += npos
                 n_pos_correct += npc
@@ -869,6 +947,70 @@ def _sentence_partials(weights_bc, class_weights, dropout_p: float,
             )
 
     return run
+
+
+def evaluate_multilabel(
+    val_instances: DataFrame,
+    weights: dict,
+    schema: str = "reduced",
+    encoder: str = "cnn",
+    threshold: float = config.SCORE_THRESHOLD,
+    tmp_dir: str | None = None,
+) -> dict:
+    """MultiLabelSentenceRE.eval_model (multi_label_sentence_re.py:
+    151-185) with in-memory weights, through the PRODUCTION sigmoid
+    scoring path + metrics.multilabel_sentence_eval (A10): per-sentence
+    sigmoid scores explode to (sent_id, relation, score, label) cells —
+    labels one-hot the instance's single label_id exactly like the
+    reference's train/val construction (multi_label_sentence_re.py:
+    117-120). Returns the multilabel eval dict (acc, auc, micro/macro
+    F1, p@k, ...)."""
+    import os
+    import tempfile
+
+    from .. import relations
+    from ..functions.weights import save_weights_npz
+    from .metrics import multilabel_sentence_eval
+    from .scoring import score_instances
+
+    rel2id = relations.rel2id_for(schema)
+    fd, path = tempfile.mkstemp(
+        suffix=".npz", prefix="spark_graft_val_", dir=tmp_dir
+    )
+    os.close(fd)
+    try:
+        save_weights_npz(weights, path, rel2id=rel2id)
+        scored = score_instances(
+            val_instances, with_scores=True, classifier="sigmoid",
+            schema=schema, encoder=encoder, ckpt=path,
+        )
+        sort_cols = [c for c in _SORT_COLS if c in scored.columns]
+        spark = val_instances.sparkSession
+        rel_dim = spark.createDataFrame(
+            [(r, i) for r, i in sorted(rel2id.items())],
+            "relation string, rel_id int",
+        )
+        cells = (
+            scored.withColumn(
+                "sent_id", F.xxhash64("h_id", "t_id", *sort_cols)
+            )
+            .select(
+                "sent_id", "label_id",
+                F.posexplode("scores").alias("rel_id", "score"),
+            )
+            .join(F.broadcast(rel_dim), "rel_id")
+            .select(
+                "sent_id",
+                "relation",
+                F.col("score").cast("double").alias("score"),
+                (F.col("rel_id") == F.col("label_id")).cast("int").alias(
+                    "label"
+                ),
+            )
+        )
+        return multilabel_sentence_eval(cells, rel2id, threshold=threshold)
+    finally:
+        os.remove(path)
 
 
 def train_sentence_model(
@@ -890,6 +1032,8 @@ def train_sentence_model(
     resume_dir: str | None = None,
     warmup_step: int = 0,
     val_tmp_dir: str | None = None,
+    bert_dropout: float = 0.0,
+    multilabel: bool = False,
 ) -> tuple[dict, list[dict]]:
     """SentenceRE.train_model (sentence_re.py:96-139): per-sentence CE
     over the softmax classifier, same distributed step shape as
@@ -897,6 +1041,15 @@ def train_sentence_model(
     SentenceRELoader batches sentences, not bags). val_instances adds
     per-epoch accuracy validation (metric='acc', sentence_re.py:128-138)
     with best-checkpoint save when `ckpt` is given.
+
+    encoder='bert' / 'bert_entity' fine-tunes the transformer — the
+    reference's BERT branch (example/train_supervised_bert.py:
+    BERTEncoder + SoftmaxNN, opt='adamw', warmup_step=300), which this
+    loop reproduces with opt='adamw' + warmup_step. `bert_dropout`
+    drives the four HF-internal dropout sites (HF default 0.1; 0 is
+    the deterministic parity surface). Checkpoints save/load through
+    the same S4 .npz dispatch as the CNN family (HF dotted keys), so
+    resume_dir and the best-ckpt save work unchanged.
 
     resume_dir: the same epoch-checkpoint/resume machinery as the bag
     loop (weights + optimizer moments + atomic manifest per completed
@@ -909,13 +1062,35 @@ def train_sentence_model(
     SentenceRE's scheduler (sentence_re.py:84-88; its ctor default is
     300). Default 0 here: warmup-off is this engine's established
     parity surface and the schedule is opt-in like every other
-    reference hyperparameter."""
+    reference hyperparameter.
+
+    multilabel=True switches the step to MultiLabelSentenceRE.train_model
+    semantics (multi_label_sentence_re.py:97-136): SigmoidNN forward,
+    one-hot target and logits both dropping the NA column, flattened
+    BCEWithLogitsLoss, elementwise thresholded-accuracy meters; the
+    per-epoch validation runs the full multilabel eval (A10) through
+    the production sigmoid scoring path and records its `acc`. The
+    reference's multilabel framework has no loss_weight — combining
+    the flags raises."""
+    if multilabel and loss_weight:
+        raise ValueError(
+            "multilabel training has no class-weight path "
+            "(MultiLabelSentenceRE uses unweighted BCEWithLogitsLoss, "
+            "multi_label_sentence_re.py:55)"
+        )
     spark = instances.sparkSession
     pcnn = encoder == "pcnn"
     if init_weights is None:
-        from ..functions.weights import default_model
+        if encoder in ("bert", "bert_entity"):
+            from ..functions.bert_kernels import default_bert_model
 
-        _, w0 = default_model(schema=schema, pcnn=pcnn)
+            _, w0 = default_bert_model(
+                entity=(encoder == "bert_entity"), schema=schema
+            )
+        else:
+            from ..functions.weights import default_model
+
+            _, w0 = default_model(schema=schema, pcnn=pcnn)
         weights = dict(w0)
     else:
         weights = dict(init_weights)
@@ -965,6 +1140,8 @@ def train_sentence_model(
                     _sentence_partials(
                         weights_bc, class_weights, dropout,
                         salt=(seed, epoch, step),
+                        bert_dropout_p=bert_dropout,
+                        multilabel=multilabel,
                     ),
                     schema=_PARTIAL_SCHEMA,
                 )
@@ -1001,10 +1178,18 @@ def train_sentence_model(
             "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
         }
         if val_instances is not None:
-            acc = evaluate_sentence_acc(
-                val_instances, weights, schema=schema, encoder=encoder,
-                tmp_dir=val_tmp_dir,
-            )
+            if multilabel:
+                acc = float(
+                    evaluate_multilabel(
+                        val_instances, weights, schema=schema,
+                        encoder=encoder, tmp_dir=val_tmp_dir,
+                    )["acc"]
+                )
+            else:
+                acc = evaluate_sentence_acc(
+                    val_instances, weights, schema=schema, encoder=encoder,
+                    tmp_dir=val_tmp_dir,
+                )
             row["val_acc"] = acc
             if best_metric is None or acc > best_metric:
                 best_metric = acc

@@ -195,11 +195,80 @@ def serial_train_bags(
     return W, history
 
 
+def serial_train_sentences_bert(
+    rows_by_epoch_batch, W0, lr, weight_decay, class_weights=None,
+    opt="adamw", warmup_step=0,
+):
+    """BERT sentence-model serial twin: one ROW per kernel call through
+    bert_grad_kernels.bert_sentence_train_batch, the distributed loop's
+    schedule + warmup conventions, reference AverageMeter semantics.
+    rows: (token, att_mask, pos1, pos2, label)."""
+    from opennre_spark.functions import bert_grad_kernels as bgk
+
+    W = dict(W0)
+    opt_state = gk.adam_init(W) if opt in ("adam", "adamw") else None
+    history = []
+    n_epochs = len(rows_by_epoch_batch)
+    for epoch, epoch_batches in enumerate(rows_by_epoch_batch):
+        n_batches = len(epoch_batches)
+        sums = {"loss": 0.0, "acc": 0.0, "pos_acc": 0.0}
+        n_steps = 0
+        for step, batch in enumerate(epoch_batches):
+            if not batch:
+                continue
+            lr_mult = (
+                gk.linear_warmup_multiplier(
+                    epoch * n_batches + step, warmup_step,
+                    n_epochs * n_batches,
+                )
+                if warmup_step > 0
+                else 1.0
+            )
+            acc_g = None
+            loss_wsum = w_sum = 0.0
+            n_correct = n_pos = n_pos_correct = 0
+            for token, att_mask, pos1, pos2, label in batch:
+                lw, ws, nc, npos, npc, grads = bgk.bert_sentence_train_batch(
+                    token[None, :], att_mask[None, :],
+                    np.array([pos1], dtype=np.int64),
+                    np.array([pos2], dtype=np.int64),
+                    np.array([label], dtype=np.int64),
+                    W, class_weights=class_weights,
+                )
+                loss_wsum += lw
+                w_sum += ws
+                n_correct += nc
+                n_pos += npos
+                n_pos_correct += npc
+                g = gk.flatten_grads(grads, W)
+                acc_g = g if acc_g is None else acc_g + g
+            W = _serial_step(
+                W, acc_g, w_sum, lr, weight_decay, opt, opt_state, lr_mult
+            )
+            sums["loss"] += loss_wsum / w_sum
+            sums["acc"] += n_correct / len(batch)
+            sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
+            n_steps += 1
+        history.append(
+            {
+                "epoch": len(history),
+                "n_steps": n_steps,
+                "avg_loss": sums["loss"] / max(n_steps, 1),
+                "avg_acc": sums["acc"] / max(n_steps, 1),
+                "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
+            }
+        )
+    return W, history
+
+
 def serial_train_sentences(
-    rows_by_epoch_batch, W0, lr, weight_decay, class_weights=None
+    rows_by_epoch_batch, W0, lr, weight_decay, class_weights=None,
+    multilabel=False,
 ):
     """Sentence-model twin of serial_train_bags: one ROW per kernel
-    call, same schedule, same meters."""
+    call, same schedule, same meters. multilabel=True routes through
+    the SigmoidNN+BCE kernel with the reference's elementwise meter
+    denominators (multi_label_sentence_re.py:122-124)."""
     W = dict(W0)
     history = []
     for epoch_batches in rows_by_epoch_batch:
@@ -210,13 +279,24 @@ def serial_train_sentences(
                 continue
             acc_g = None
             loss_wsum = w_sum = 0.0
+            n_total = 0.0
             n_correct = n_pos = n_pos_correct = 0
             for token, pos1, pos2, label in batch:
-                lw, ws, nc, npos, npc, grads = gk.sentence_train_batch(
-                    token[None, :], pos1[None, :], pos2[None, :],
-                    np.array([label], dtype=np.int64),
-                    W, class_weights=class_weights,
-                )
+                if multilabel:
+                    lw, ws, nc, npos, npc, grads = (
+                        gk.multilabel_sentence_train_batch(
+                            token[None, :], pos1[None, :], pos2[None, :],
+                            np.array([label], dtype=np.int64), W,
+                        )
+                    )
+                    n_total += ws
+                else:
+                    lw, ws, nc, npos, npc, grads = gk.sentence_train_batch(
+                        token[None, :], pos1[None, :], pos2[None, :],
+                        np.array([label], dtype=np.int64),
+                        W, class_weights=class_weights,
+                    )
+                    n_total += 1
                 loss_wsum += lw
                 w_sum += ws
                 n_correct += nc
@@ -228,7 +308,7 @@ def serial_train_sentences(
                 W, gk.unflatten_grads(acc_g / w_sum, W), lr, weight_decay
             )
             sums["loss"] += loss_wsum / w_sum
-            sums["acc"] += n_correct / len(batch)
+            sums["acc"] += n_correct / n_total
             sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
             n_steps += 1
         history.append(

@@ -78,3 +78,178 @@ def test_sigmoid_scoring(spark):
     soft_by = {key(r): r.pred_rel_id for r in soft}
     for r in sig:
         assert soft_by[key(r)] == r.pred_rel_id
+
+
+# --------------------------------------------------------------------------
+# Multi-label TRAINING (MultiLabelSentenceRE.train_model,
+# multi_label_sentence_re.py:97-136): SigmoidNN + BCEWithLogits over
+# the NA-dropped one-hot matrix
+# --------------------------------------------------------------------------
+
+import math
+
+from opennre_spark.functions import grad_kernels as gk
+
+
+def test_multilabel_bce_forward_matches_naive():
+    """Kernel loss == a loop-computed BCEWithLogits mean over the
+    flattened (B, N-1) matrix (logits and one-hot target both drop the
+    NA column, multi_label_sentence_re.py:117-122)."""
+    from tests.test_training import batch_arrays, tiny_bags, tiny_weights
+    from opennre_spark.functions.kernels import softmax  # noqa: F401
+
+    W = tiny_weights(np.float32)
+    bags = tiny_bags(n_bags=6, max_members=1)
+    token, pos1, pos2, _, labels = batch_arrays(bags)
+    lw, ws, *_ = gk.multilabel_sentence_train_batch(
+        token, pos1, pos2, labels, W
+    )
+    # naive: rep via the same loops oracle, then elementwise BCE
+    from tests.oracle.train_loop import _naive_rep
+
+    total, count = 0.0, 0
+    for b in range(len(labels)):
+        rep = _naive_rep(token[b], pos1[b], pos2[b], W)
+        logits = W["fc_w"] @ rep + W["fc_b"]
+        for j in range(1, logits.shape[0]):
+            z = float(logits[j])
+            y = 1.0 if labels[b] == j else 0.0
+            total += max(z, 0.0) - z * y + math.log1p(math.exp(-abs(z)))
+            count += 1
+    assert math.isclose(lw / ws, total / count, rel_tol=1e-5)
+
+
+def test_multilabel_train_kernel_fd_cnn():
+    from tests.test_training import batch_arrays, tiny_bags, tiny_weights
+
+    W = tiny_weights(np.float64)
+    bags = tiny_bags(n_bags=4, max_members=1)  # one label per ROW
+    token, pos1, pos2, _, labels = batch_arrays(bags)
+
+    def run(w):
+        return gk.multilabel_sentence_train_batch(token, pos1, pos2, labels, w)
+
+    lw, ws, _, _, _, grads = run(W)
+
+    def loss_fn(w):
+        lw, ws, *_ = run(w)
+        return lw / ws
+
+    # reuse the CNN FD harness (skips the padding_idx=0 pos rows)
+    from tests.test_training import _fd_check
+
+    _fd_check(loss_fn, {k: grads[k] / ws for k in grads}, W)
+
+
+def test_multilabel_train_kernel_fd_bert():
+    """The same BCE step fine-tuning BERT through the encoder dispatch."""
+    from tests.test_bert_training import (
+        _fd_check_bert,
+        tiny_batch,
+        tiny_bert_weights,
+    )
+
+    W = tiny_bert_weights(np.float64)
+    token, att_mask, pos1, pos2, labels = tiny_batch()
+
+    def run(w):
+        return gk.multilabel_sentence_train_batch(
+            token, pos1.reshape(-1, 1), pos2.reshape(-1, 1), labels, w,
+            mask=att_mask,
+        )
+
+    lw, ws, _, _, _, grads = run(W)
+
+    def loss_fn(w):
+        lw, ws, *_ = run(w)
+        return lw / ws
+
+    _fd_check_bert(loss_fn, {k: grads[k] / ws for k in grads}, W)
+
+
+def test_distributed_multilabel_matches_serial(spark):
+    from tests.oracle.train_loop import serial_train_sentences
+    from tests.test_training import _labeled_instances
+
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import (
+        _SORT_COLS,
+        encode_labeled,
+        sentence_batch_col,
+        train_sentence_model,
+    )
+
+    inst = _labeled_instances(spark, n=24)
+    _, W0 = default_model(schema="reduced")
+    epochs, batch_size, lr, wd, seed = 2, 8, 0.2, 1e-4, 37
+
+    W_dist, hist_dist = train_sentence_model(
+        inst, epochs=epochs, batch_size=batch_size, lr=lr,
+        weight_decay=wd, seed=seed, init_weights=W0, multilabel=True,
+    )
+    encoded = encode_labeled(inst)
+    n_inst = encoded.count()
+    n_batches = max(1, int(np.ceil(n_inst / batch_size)))
+    sort_cols = [c for c in _SORT_COLS if c in inst.columns]
+    schedule = []
+    for epoch in range(epochs):
+        rows = encoded.withColumn(
+            "__batch", sentence_batch_col(epoch, n_batches, seed, sort_cols)
+        ).collect()
+        batches = [[] for _ in range(n_batches)]
+        for r in rows:
+            batches[r["__batch"]].append(
+                (
+                    np.asarray(r["token"], dtype=np.int64),
+                    np.asarray(r["pos1"], dtype=np.int64),
+                    np.asarray(r["pos2"], dtype=np.int64),
+                    int(r["label_id"]),
+                )
+            )
+        schedule.append(batches)
+    W_ser, hist_ser = serial_train_sentences(
+        schedule, dict(W0), lr, wd, multilabel=True
+    )
+    for hd, hs in zip(hist_dist, hist_ser):
+        assert math.isclose(hd["avg_loss"], hs["avg_loss"], rel_tol=1e-6)
+        assert math.isclose(hd["avg_acc"], hs["avg_acc"], rel_tol=1e-9)
+    for k in gk.PARAM_KEYS:
+        np.testing.assert_allclose(W_dist[k], W_ser[k], rtol=0, atol=2e-6)
+
+
+def test_multilabel_val_and_ckpt(spark, tmp_path):
+    """Per-epoch multilabel validation through the production sigmoid
+    scoring path + best-ckpt save: the reloaded checkpoint re-evaluates
+    to exactly the best recorded elementwise accuracy
+    (multi_label_sentence_re.py:138-146 save-on-best semantics)."""
+    from tests.test_training import _labeled_instances
+
+    from opennre_spark.functions.weights import default_model, load_state_dict_npz
+    from opennre_spark.operators.training import (
+        evaluate_multilabel,
+        train_sentence_model,
+    )
+
+    inst = _labeled_instances(spark, n=24)
+    _, W0 = default_model(schema="reduced")
+    ckpt = str(tmp_path / "best_ml.npz")
+    _, hist = train_sentence_model(
+        inst, epochs=2, batch_size=12, lr=0.3, weight_decay=1e-5,
+        seed=41, init_weights=W0, multilabel=True, val_instances=inst,
+        ckpt=ckpt,
+    )
+    vals = [h["val_acc"] for h in hist]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert hist[-1]["avg_loss"] < hist[0]["avg_loss"]
+    loaded = load_state_dict_npz(ckpt)
+    res = evaluate_multilabel(inst, loaded)
+    assert math.isclose(res["acc"], max(vals), rel_tol=1e-12)
+
+
+def test_multilabel_loss_weight_raises(spark):
+    from tests.test_training import _labeled_instances
+    from opennre_spark.operators.training import train_sentence_model
+
+    inst = _labeled_instances(spark, n=8)
+    with pytest.raises(ValueError, match="multilabel"):
+        train_sentence_model(inst, multilabel=True, loss_weight=True)
