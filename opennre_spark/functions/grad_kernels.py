@@ -77,6 +77,33 @@ def param_keys(weights: dict) -> tuple:
     return tuple(keys)
 
 
+def used_param_keys(weights: dict, model: str = "bag",
+                    method: str = "att") -> frozenset:
+    """The parameters a given model configuration actually trains.
+
+    torch optimizers skip parameters whose .grad is None (optim.SGD,
+    optim.Adam and transformers AdamW all `continue` on it), and a
+    parameter structurally absent from the forward graph never gets a
+    grad — so the reference never weight-decays it either. Mirroring
+    that:
+      - `att_diag` participates only in BagAttention (method='att',
+        bag_attention.py:27-29,116); SoftmaxNN / SigmoidNN /
+        BagAverage / BagOne have no diag parameter at all;
+      - the BERT pooler feeds only the CLS path — the entity encoder
+        consumes hidden states (bert_encoder.py:133-143), leaving
+        pooler grads None.
+    model: 'bag' | 'sentence' | 'multilabel'. Pass the result to
+    make_optimizer / the step functions as `used_keys` so unused
+    parameters stay bit-identical through training, exactly like the
+    reference."""
+    keys = set(param_keys(weights))
+    if model in ("sentence", "multilabel") or method in ("avg", "one"):
+        keys.discard("att_diag")
+    if "ent_w" in weights:
+        keys -= {"pool_w", "pool_b"}
+    return frozenset(keys)
+
+
 def zero_grads(weights: dict) -> dict:
     return {
         k: np.zeros_like(weights[k], dtype=np.float64)
@@ -124,10 +151,13 @@ def split_word_grad(flat: np.ndarray, weights: dict):
     return touched, word[touched].ravel(), flat[n_we:]
 
 
-def sgd_step(weights: dict, grads: dict, lr: float, weight_decay: float) -> dict:
+def sgd_step(weights: dict, grads: dict, lr: float, weight_decay: float,
+             used_keys=None) -> dict:
     """optim.SGD with coupled L2 (torch: d_p = g + wd*p; p -= lr*d_p).
     Returns a NEW weight dict (old arrays untouched — executors may
-    still hold broadcast references to them)."""
+    still hold broadcast references to them). used_keys: parameters the
+    model actually trains (used_param_keys) — others are left
+    bit-identical, mirroring torch's `if p.grad is None: continue`."""
     out = dict(weights)
     # the truncation-soundness flag describes the PRE-step arrays; the
     # step can move the PAD word row, so drop it rather than carry it
@@ -135,6 +165,8 @@ def sgd_step(weights: dict, grads: dict, lr: float, weight_decay: float) -> dict
     # weights._set_trunc_flag recomputes it on any save/load)
     out.pop("exact_trunc", None)
     for k in param_keys(weights):
+        if used_keys is not None and k not in used_keys:
+            continue  # torch: grad is None -> parameter untouched
         p = weights[k]
         g = grads[k] + weight_decay * p.astype(np.float64)
         out[k] = (p.astype(np.float64) - lr * g).astype(p.dtype)
@@ -153,7 +185,7 @@ def adam_init(weights: dict) -> dict:
 
 def adam_step(
     weights: dict, grads: dict, state: dict, lr: float, weight_decay: float,
-    betas: tuple = (0.9, 0.999), eps: float = 1e-8,
+    betas: tuple = (0.9, 0.999), eps: float = 1e-8, used_keys=None,
 ) -> dict:
     """optim.Adam with coupled L2, torch semantics (bag_re.py:70-71
     `optim.Adam(params, lr, weight_decay=weight_decay)`): g += wd*p;
@@ -166,6 +198,8 @@ def adam_step(
     out = dict(weights)
     out.pop("exact_trunc", None)  # stale after the step (see sgd_step)
     for k in param_keys(weights):
+        if used_keys is not None and k not in used_keys:
+            continue  # torch: grad is None -> no step, no moments
         p = weights[k].astype(np.float64)
         g = grads[k] + weight_decay * p
         m = state["m"][k]
@@ -182,16 +216,22 @@ def adam_step(
 
 def adamw_step(
     weights: dict, grads: dict, state: dict, lr: float,
-    betas: tuple = (0.9, 0.999), eps: float = 1e-6,
+    betas: tuple = (0.9, 0.999), eps: float = 1e-6, used_keys=None,
 ) -> dict:
     """The reference's BERT-branch optimizer (bag_re.py:72-91 /
     sentence_re.py:62-81): `transformers.AdamW(grouped_params,
     correct_bias=False)` from transformers==3.4.0 (requirements.txt:2).
     Semantics, in order, per that implementation:
 
-      m = b1*m + (1-b1)*g;  v = b2*v + (1-b2)*g^2     (raw g — weight
-      p -= lr * m / (sqrt(v) + eps)                    decay is NOT
-      p -= lr * wd * p                                 added to g)
+      m = b1*m + (1-b1)*g;  v = b2*v + (1-b2)*g^2   (raw g — weight
+      p -= lr * m / (sqrt(v) + eps)                  decay is NOT
+      p -= lr * wd * p     <- decays the POST-Adam p added to g)
+
+    (the decay reads the ALREADY-UPDATED parameter — transformers
+    applies `p.data.add_(-lr * wd, p.data)` after `addcdiv_` — so the
+    closed form is p_new = (p - lr*m/(sqrt(v)+eps)) * (1 - lr*wd),
+    not p - lr*u - lr*wd*p; the difference is the lr^2*wd*u cross
+    term, which compounds over a training run.)
 
     correct_bias=False => NO bias correction (the BERT convention), and
     eps defaults to transformers' 1e-6 (not torch Adam's 1e-8). Weight
@@ -211,6 +251,8 @@ def adamw_step(
     out = dict(weights)
     out.pop("exact_trunc", None)  # stale after the step (see sgd_step)
     for k in param_keys(weights):
+        if used_keys is not None and k not in used_keys:
+            continue  # torch/transformers: grad is None -> skipped
         p = weights[k].astype(np.float64)
         g = grads[k]
         m = state["m"][k]
@@ -220,7 +262,8 @@ def adamw_step(
         v *= b2
         v += (1 - b2) * g * g
         wd = 0.0 if (k.endswith("_b") or k.endswith("_ln_g")) else 0.01
-        new_p = p - lr * m / (np.sqrt(v) + eps) - lr * wd * p
+        new_p = p - lr * m / (np.sqrt(v) + eps)
+        new_p -= lr * wd * new_p  # decoupled decay of the UPDATED p
         out[k] = new_p.astype(weights[k].dtype)
     return out
 
@@ -275,7 +318,8 @@ def _conv_full(x, w, b):
     return out, xp
 
 
-def encoder_forward_train(token, pos1, pos2, weights, mask=None):
+def encoder_forward_train(token, pos1, pos2, weights, mask=None,
+                          bert_dropout_p: float = 0.0, rng=None):
     """CNN / PCNN encoder train forward WITHOUT the trailing dropout
     (the caller owns dropout so the bag path can place it exactly where
     the reference does). mask=None -> CNNEncoder (rep width H); mask
@@ -289,13 +333,16 @@ def encoder_forward_train(token, pos1, pos2, weights, mask=None):
     positions — the column layout encode_labeled emits for both
     families — which is what lets all three bag trainers fine-tune
     BERT through the same kernels (the reference's
-    example/train_bag_bert.py branch)."""
+    example/train_bag_bert.py branch). bert_dropout_p/rng drive the
+    four HF-internal dropout sites on that path (the CNN family's
+    dropout belongs to the caller and ignores both)."""
     if "conv_w" not in weights:
         from . import bert_grad_kernels as bgk
 
         rep, cache = bgk.bert_rep_forward_train(
             token, mask, np.asarray(pos1).reshape(-1),
             np.asarray(pos2).reshape(-1), weights,
+            bert_dropout_p=bert_dropout_p, rng=rng,
         )
         cache["__bert__"] = True
         return rep, cache
@@ -436,6 +483,7 @@ def _dropout_mask(shape, p, rng, dtype):
 def bag_att_train_batch(
     token, pos1, pos2, scopes, labels, weights,
     class_weights=None, dropout_p: float = 0.0, rng=None, mask=None,
+    bert_dropout_p: float = 0.0,
 ):
     """One training batch of bags through BagAttention (train branch,
     bag_size=0 semantics, use_diag=True): returns
@@ -455,7 +503,10 @@ def bag_att_train_batch(
     fc_w, fc_b, diag = weights["fc_w"], weights["fc_b"], weights["att_diag"]
     B = len(labels)
 
-    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
+    rep, cache = encoder_forward_train(
+        token, pos1, pos2, weights, mask=mask,
+        bert_dropout_p=bert_dropout_p, rng=rng,
+    )
     # the per-sentence dropout models the CNN/PCNN encoder's trailing
     # self.drop (cnn_encoder.py:65); BERT encoders have no trailing
     # dropout (bert_encoder.py:23-33), so only later sites apply there
@@ -529,13 +580,17 @@ def bag_att_train_batch(
 def bag_avg_train_batch(
     token, pos1, pos2, scopes, labels, weights,
     class_weights=None, dropout_p: float = 0.0, rng=None, mask=None,
+    bert_dropout_p: float = 0.0,
 ):
     """BagAverage train branch (bag_average.py:117-131): bag rep = mean
     of member reps -> dropout -> fc -> CE. Same SUM-form contract and
     argument shapes as bag_att_train_batch."""
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
     B = len(labels)
-    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
+    rep, cache = encoder_forward_train(
+        token, pos1, pos2, weights, mask=mask,
+        bert_dropout_p=bert_dropout_p, rng=rng,
+    )
     # the per-sentence dropout models the CNN/PCNN encoder's trailing
     # self.drop (cnn_encoder.py:65); BERT encoders have no trailing
     # dropout (bert_encoder.py:23-33), so only later sites apply there
@@ -582,6 +637,7 @@ def bag_avg_train_batch(
 def bag_one_train_batch(
     token, pos1, pos2, scopes, labels, weights,
     class_weights=None, dropout_p: float = 0.0, rng=None, mask=None,
+    bert_dropout_p: float = 0.0,
 ):
     """BagOne ("at-least-one") train branch (bag_one.py:111-138): per
     bag, pick the member whose softmaxed instance logits score highest
@@ -590,7 +646,10 @@ def bag_one_train_batch(
     the bag rep is that member's rep -> dropout -> fc -> CE."""
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
     B = len(labels)
-    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
+    rep, cache = encoder_forward_train(
+        token, pos1, pos2, weights, mask=mask,
+        bert_dropout_p=bert_dropout_p, rng=rng,
+    )
     # the per-sentence dropout models the CNN/PCNN encoder's trailing
     # self.drop (cnn_encoder.py:65); BERT encoders have no trailing
     # dropout (bert_encoder.py:23-33), so only later sites apply there
@@ -649,6 +708,7 @@ BAG_TRAIN_KERNELS = {
 def sentence_train_batch(
     token, pos1, pos2, labels, weights,
     class_weights=None, dropout_p: float = 0.0, rng=None, mask=None,
+    bert_dropout_p: float = 0.0,
 ):
     """One batch through CNNEncoder -> dropout -> dropout -> fc -> CE
     (SentenceRE.train_model step, sentence_re.py:104-127). The reference
@@ -659,7 +719,10 @@ def sentence_train_batch(
     contract as bag_att_train_batch; returns
     (loss_wsum, w_sum, n_correct, n_pos, n_pos_correct, grads)."""
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
-    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
+    rep, cache = encoder_forward_train(
+        token, pos1, pos2, weights, mask=mask,
+        bert_dropout_p=bert_dropout_p, rng=rng,
+    )
     # the per-sentence dropout models the CNN/PCNN encoder's trailing
     # self.drop (cnn_encoder.py:65); BERT encoders have no trailing
     # dropout (bert_encoder.py:23-33), so only later sites apply there
@@ -712,6 +775,7 @@ def bce_loss_and_dlogits(logits, targets):
 def multilabel_sentence_train_batch(
     token, pos1, pos2, labels, weights,
     dropout_p: float = 0.0, rng=None, mask=None,
+    bert_dropout_p: float = 0.0,
 ):
     """MultiLabelSentenceRE.train_model step
     (multi_label_sentence_re.py:96-136): SigmoidNN forward
@@ -729,7 +793,10 @@ def multilabel_sentence_train_batch(
     BERT weights use it as the attention mask (no trailing dropout).
     Same SUM-form partial-composable contract; w_sum counts ELEMENTS."""
     fc_w, fc_b = weights["fc_w"], weights["fc_b"]
-    rep, cache = encoder_forward_train(token, pos1, pos2, weights, mask=mask)
+    rep, cache = encoder_forward_train(
+        token, pos1, pos2, weights, mask=mask,
+        bert_dropout_p=bert_dropout_p, rng=rng,
+    )
     enc_mask = (
         _dropout_mask(rep.shape, dropout_p, rng, rep.dtype)
         if "conv_w" in weights else None

@@ -324,6 +324,7 @@ def sentence_batch_col(epoch: int, n_batches: int, seed: int,
 def _bag_partials(
     weights_bc, class_weights, dropout_p: float, bag_size: int, bag_seed: int,
     sort_cols: list[str], salt: tuple = (0, 0, 0), method: str = "att",
+    bert_dropout_p: float = 0.0,
 ):
     """mapInPandas kernel: ONE partial row per partition with SUM-form
     gradients + meter numerators (grad_kernels contract). dropout_p > 0
@@ -343,7 +344,7 @@ def _bag_partials(
             else _TRAIN_MICRO_SENTS
         )
         rng = None
-        if dropout_p > 0:
+        if dropout_p > 0 or bert_dropout_p > 0:
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0
@@ -367,7 +368,7 @@ def _bag_partials(
                 np.asarray(scope_list, dtype=np.int64),
                 np.asarray(labels, dtype=np.int64),
                 weights, class_weights=class_weights, dropout_p=dropout_p,
-                rng=rng, mask=mask,
+                rng=rng, mask=mask, bert_dropout_p=bert_dropout_p,
             )
             loss_wsum += lw
             w_sum += ws
@@ -375,7 +376,7 @@ def _bag_partials(
             n_correct += nc
             n_pos += npos
             n_pos_correct += npc
-            g = gk.flatten_grads(grads)
+            g = gk.flatten_grads(grads, weights)
             acc = g if acc is None else acc + g
 
         tok_list, scope_list, labels, n_sents = [], [], [], 0
@@ -427,7 +428,8 @@ def _bag_partials(
     return run
 
 
-def make_optimizer(opt: str, weights: dict, lr: float, weight_decay: float):
+def make_optimizer(opt: str, weights: dict, lr: float, weight_decay: float,
+                   used_keys=None):
     """The reference's full optimizer switch (bag_re.py:67-93 /
     sentence_re.py:55-82): 'sgd' and 'adam' are the torch optimizers
     with coupled L2 at `weight_decay`; 'adamw' is the BERT-branch
@@ -438,25 +440,31 @@ def make_optimizer(opt: str, weights: dict, lr: float, weight_decay: float):
     (step(weights, grads, lr_mult=1.0) -> new weights, state-or-None);
     lr_mult is the warmup/decay schedule multiplier
     (gk.linear_warmup_multiplier — reference scheduler wraps ANY of the
-    three optimizers, sentence_re.py:84-88). Raises on unknown names
-    like the reference."""
+    three optimizers, sentence_re.py:84-88). used_keys
+    (gk.used_param_keys) restricts stepping to the parameters the model
+    configuration actually trains — torch optimizers skip grad-None
+    params, so structurally-unused ones (att_diag outside BagAttention,
+    the BERT pooler under the entity encoder) must stay bit-identical.
+    Raises on unknown names like the reference."""
     if opt == "sgd":
         return (
             lambda w, g, lr_mult=1.0: gk.sgd_step(
-                w, g, lr * lr_mult, weight_decay
+                w, g, lr * lr_mult, weight_decay, used_keys=used_keys
             )
         ), None
     if opt == "adam":
         state = gk.adam_init(weights)
         return (
             lambda w, g, lr_mult=1.0: gk.adam_step(
-                w, g, state, lr * lr_mult, weight_decay
+                w, g, state, lr * lr_mult, weight_decay, used_keys=used_keys
             )
         ), state
     if opt == "adamw":
         state = gk.adam_init(weights)  # same moment/step-counter layout
         return (
-            lambda w, g, lr_mult=1.0: gk.adamw_step(w, g, state, lr * lr_mult)
+            lambda w, g, lr_mult=1.0: gk.adamw_step(
+                w, g, state, lr * lr_mult, used_keys=used_keys
+            )
         ), state
     raise ValueError("Invalid optimizer. Must be 'sgd' or 'adam' or 'adamw'.")
 
@@ -680,6 +688,7 @@ def train_bag_attention(
     encoder: str = "cnn",
     warmup_step: int = 0,
     val_tmp_dir: str | None = None,
+    bert_dropout: float = 0.0,
 ) -> tuple[dict, list[dict]]:
     """BagRE.train_model (bag_re.py:100-152) as synchronous distributed
     SGD. `instances` are labeled rows (text, spans, h_id, t_id,
@@ -772,7 +781,10 @@ def train_bag_attention(
         if loss_weight
         else None
     )
-    step_fn, opt_state = make_optimizer(opt, weights, lr, weight_decay)
+    step_fn, opt_state = make_optimizer(
+        opt, weights, lr, weight_decay,
+        used_keys=gk.used_param_keys(weights, model="bag", method=method),
+    )
     best_metric = None
     start_epoch = 0
     history: list[dict] = []
@@ -807,6 +819,7 @@ def train_bag_attention(
                     _bag_partials(
                         weights_bc, class_weights, dropout, bag_size, seed,
                         sort_cols, salt=(seed, epoch, step), method=method,
+                        bert_dropout_p=bert_dropout,
                     ),
                     schema=_PARTIAL_SCHEMA,
                 )
@@ -904,6 +917,7 @@ def _sentence_partials(weights_bc, class_weights, dropout_p: float,
                         gk.multilabel_sentence_train_batch(
                             token, pos1, pos2, labels, weights,
                             dropout_p=dropout_p, rng=rng, mask=mask,
+                            bert_dropout_p=bert_dropout_p,
                         )
                     )
                 elif bert:
@@ -933,7 +947,7 @@ def _sentence_partials(weights_bc, class_weights, dropout_p: float,
                 n_correct += nc
                 n_pos += npos
                 n_pos_correct += npc
-                g = gk.flatten_grads(grads)
+                g = gk.flatten_grads(grads, weights)
                 acc = g if acc is None else acc + g
         if acc is not None:
             widx, wvals, rest = gk.split_word_grad(acc, weights)
@@ -1105,7 +1119,12 @@ def train_sentence_model(
         if loss_weight
         else None
     )
-    step_fn, opt_state = make_optimizer(opt, weights, lr, weight_decay)
+    step_fn, opt_state = make_optimizer(
+        opt, weights, lr, weight_decay,
+        used_keys=gk.used_param_keys(
+            weights, model="multilabel" if multilabel else "sentence"
+        ),
+    )
     best_metric = None
     start_epoch = 0
     history: list[dict] = []

@@ -111,13 +111,16 @@ def naive_sentence_loss(rows, W, class_weights=None):
 
 
 def _serial_step(W, acc_g, w_sum, lr, weight_decay, opt, opt_state,
-                 lr_mult=1.0):
+                 lr_mult=1.0, used_keys=None):
     g = gk.unflatten_grads(acc_g / w_sum, W)
     if opt == "adam":
-        return gk.adam_step(W, g, opt_state, lr * lr_mult, weight_decay)
+        return gk.adam_step(W, g, opt_state, lr * lr_mult, weight_decay,
+                            used_keys=used_keys)
     if opt == "adamw":
-        return gk.adamw_step(W, g, opt_state, lr * lr_mult)
-    return gk.sgd_step(W, g, lr * lr_mult, weight_decay)
+        return gk.adamw_step(W, g, opt_state, lr * lr_mult,
+                             used_keys=used_keys)
+    return gk.sgd_step(W, g, lr * lr_mult, weight_decay,
+                       used_keys=used_keys)
 
 
 def serial_train_bags(
@@ -135,6 +138,7 @@ def serial_train_bags(
     averaged over the epoch)."""
     W = dict(W0)
     opt_state = gk.adam_init(W) if opt in ("adam", "adamw") else None
+    used_keys = gk.used_param_keys(W, model="bag", method=method)
     history = []
     n_epochs = len(bags_by_epoch_batch)
     for epoch, epoch_batches in enumerate(bags_by_epoch_batch):
@@ -177,7 +181,8 @@ def serial_train_bags(
                 g = gk.flatten_grads(grads)
                 acc_g = g if acc_g is None else acc_g + g
             W = _serial_step(
-                W, acc_g, w_sum, lr, weight_decay, opt, opt_state, lr_mult
+                W, acc_g, w_sum, lr, weight_decay, opt, opt_state, lr_mult,
+                used_keys=used_keys,
             )
             sums["loss"] += loss_wsum / w_sum
             sums["acc"] += n_correct / len(batch)
@@ -207,6 +212,7 @@ def serial_train_sentences_bert(
 
     W = dict(W0)
     opt_state = gk.adam_init(W) if opt in ("adam", "adamw") else None
+    used_keys = gk.used_param_keys(W, model="sentence")
     history = []
     n_epochs = len(rows_by_epoch_batch)
     for epoch, epoch_batches in enumerate(rows_by_epoch_batch):
@@ -243,7 +249,8 @@ def serial_train_sentences_bert(
                 g = gk.flatten_grads(grads, W)
                 acc_g = g if acc_g is None else acc_g + g
             W = _serial_step(
-                W, acc_g, w_sum, lr, weight_decay, opt, opt_state, lr_mult
+                W, acc_g, w_sum, lr, weight_decay, opt, opt_state, lr_mult,
+                used_keys=used_keys,
             )
             sums["loss"] += loss_wsum / w_sum
             sums["acc"] += n_correct / len(batch)
@@ -305,7 +312,10 @@ def serial_train_sentences(
                 g = gk.flatten_grads(grads)
                 acc_g = g if acc_g is None else acc_g + g
             W = gk.sgd_step(
-                W, gk.unflatten_grads(acc_g / w_sum, W), lr, weight_decay
+                W, gk.unflatten_grads(acc_g / w_sum, W), lr, weight_decay,
+                used_keys=gk.used_param_keys(
+                    W, model="multilabel" if multilabel else "sentence"
+                ),
             )
             sums["loss"] += loss_wsum / w_sum
             sums["acc"] += n_correct / n_total

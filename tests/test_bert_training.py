@@ -415,3 +415,54 @@ def test_adamw_no_decay_covers_layernorm_gains():
         ),
         rtol=1e-6,
     )
+
+
+def test_bert_entity_pooler_untouched_by_adamw(spark):
+    """The entity encoder consumes hidden states, not the pooler
+    (bert_encoder.py:133-143) — its pooler grads are None in torch, so
+    transformers AdamW never decays pool_w/pool_b. used_param_keys
+    must keep them (and sentence-model att_diag) bit-identical."""
+    from tests.test_training import _labeled_instances
+
+    from opennre_spark.functions.bert_kernels import default_bert_model
+    from opennre_spark.operators.training import train_sentence_model
+
+    inst = _labeled_instances(spark, n=8)
+    _, W0 = default_bert_model(schema="reduced", entity=True)
+    W, _ = train_sentence_model(
+        inst, epochs=1, batch_size=8, lr=1e-3, weight_decay=0.0,
+        seed=61, init_weights=W0, encoder="bert_entity", opt="adamw",
+    )
+    np.testing.assert_array_equal(W["pool_w"], W0["pool_w"])
+    np.testing.assert_array_equal(W["pool_b"], W0["pool_b"])
+    np.testing.assert_array_equal(W["att_diag"], W0["att_diag"])
+    assert not np.array_equal(W["ent_w"], W0["ent_w"])  # trained
+    assert not np.array_equal(W["l0_q_w"], W0["l0_q_w"])
+
+
+def test_bert_bag_gradcheck_fd_with_internal_dropout():
+    """bert_dropout_p threads through the bag-kernel encoder dispatch
+    (review finding: it was silently ignored) — FD stays valid with
+    a replayable seeded Generator."""
+    W = tiny_bert_weights(np.float64)
+    rng0 = np.random.default_rng(71)
+    W["att_diag"] = 1.0 + 0.1 * rng0.standard_normal(H)
+    token, att_mask, pos1, pos2, labels = tiny_batch(seed=8)
+    scopes = np.array([[0, 1], [1, 3]], dtype=np.int64)
+    labels = labels[:2]
+
+    def run(w):
+        rng = np.random.default_rng(123)
+        return gk.BAG_TRAIN_KERNELS["att"](
+            token, pos1.reshape(-1, 1), pos2.reshape(-1, 1), scopes,
+            labels, w, mask=att_mask, dropout_p=0.3, rng=rng,
+            bert_dropout_p=0.2,
+        )
+
+    lw, ws, _, _, _, grads = run(W)
+
+    def loss_fn(w):
+        lw, ws, *_ = run(w)
+        return lw / ws
+
+    _fd_check_bert(loss_fn, {k: grads[k] / ws for k in grads}, W)

@@ -233,3 +233,22 @@ def test_ckpt_through_spark_pipeline(spark):
     }
     assert got != base, "ckpt weights must actually change the decisions"
     transcripts.unpersist()
+
+
+def test_export_tool_heads_table_matches_loader():
+    """tools/export_ckpt.py keeps a standalone copy of the HF
+    hidden->heads table (the export machine has torch but not this
+    repo); it must stay identical to the loader's
+    bert_kernels._HF_STANDARD_HEADS or exporter and loader disagree
+    about which checkpoints need an explicit --heads."""
+    import importlib.util
+    import os
+
+    from opennre_spark.functions.bert_kernels import _HF_STANDARD_HEADS
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "export_ckpt.py")
+    spec = importlib.util.spec_from_file_location("export_ckpt", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.HF_STANDARD_HEADS == _HF_STANDARD_HEADS

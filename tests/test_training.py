@@ -666,8 +666,11 @@ def test_adamw_step_semantics():
     for k in gk.PARAM_KEYS:
         p0 = W[k].astype(np.float64)
         wd = 0.0 if k.endswith("_b") else 0.01
-        # correct_bias=False: raw m, v — no (1-b^t) rescale
-        exp = p0 - lr * m[k] / (np.sqrt(v[k]) + eps) - lr * wd * p0
+        # correct_bias=False: raw m, v — no (1-b^t) rescale; the
+        # decoupled decay reads the POST-Adam parameter (transformers
+        # applies add_(-lr*wd, p.data) AFTER addcdiv_), so the closed
+        # form is (p - lr*u) * (1 - lr*wd)
+        exp = (p0 - lr * m[k] / (np.sqrt(v[k]) + eps)) * (1 - lr * wd)
         np.testing.assert_allclose(
             out[k], exp.astype(np.float32), rtol=3e-5,
             err_msg=f"adamw step mismatch for {k}",
@@ -693,7 +696,7 @@ def test_adamw_step_semantics():
     m2 = b1 * m[k] + (1 - b1) * g2[k]
     v2 = b2 * v[k] + (1 - b2) * g2[k] ** 2
     p1 = out[k].astype(np.float64)
-    exp3 = p1 - lr * m2 / (np.sqrt(v2) + eps) - lr * 0.01 * p1
+    exp3 = (p1 - lr * m2 / (np.sqrt(v2) + eps)) * (1 - lr * 0.01)
     np.testing.assert_allclose(out3[k], exp3.astype(np.float32), rtol=3e-5)
     assert state["t"] == 2
 
@@ -1008,3 +1011,36 @@ def test_distant_supervision_labeling(spark):
     misses = [v for k, v in labeled.items() if k not in kb]
     assert hits and all(v != 0 for v in hits)
     assert all(v == 0 for v in misses)
+
+
+def test_unused_params_stay_untouched(spark):
+    """torch optimizers skip grad-None parameters, so parameters
+    structurally outside a model's forward graph must stay
+    BIT-IDENTICAL through training (gk.used_param_keys threaded into
+    every optimizer): att_diag belongs only to BagAttention — the
+    sentence model and the avg/one bag models never touch it, and
+    before this guard weight decay silently shrank it every step."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import (
+        train_bag_attention,
+        train_sentence_model,
+    )
+
+    inst = _labeled_instances(spark, n=16)
+    _, W0 = default_model(schema="reduced")
+    kw = dict(epochs=1, batch_size=8, lr=0.3, weight_decay=1e-2,
+              seed=51, init_weights=W0)
+    for trainer, extra in (
+        (train_sentence_model, {}),
+        (train_bag_attention, {"method": "avg"}),
+        (train_bag_attention, {"method": "one"}),
+    ):
+        W, _ = trainer(inst, **kw, **extra)
+        np.testing.assert_array_equal(
+            W["att_diag"], W0["att_diag"],
+            err_msg=f"{trainer.__name__} {extra} moved the unused att_diag",
+        )
+        assert not np.array_equal(W["fc_w"], W0["fc_w"])  # training happened
+    # ...while bag ATT training does move it (diag is in its graph)
+    W_att, _ = train_bag_attention(inst, **kw, method="att")
+    assert not np.array_equal(W_att["att_diag"], W0["att_diag"])

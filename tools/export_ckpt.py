@@ -32,12 +32,22 @@ import json
 import sys
 
 
+# mirror of opennre_spark.functions.bert_kernels._HF_STANDARD_HEADS —
+# duplicated deliberately so this script stays standalone on the
+# torch-equipped export machine (no repo import needed there); a parity
+# test in tests/test_checkpoint.py keeps the two tables identical
+HF_STANDARD_HEADS = {128: 2, 256: 4, 512: 8, 768: 12, 1024: 16}
+
+
 def main() -> None:
     heads = None
     argv = list(sys.argv)
     if "--heads" in argv:
         i = argv.index("--heads")
-        heads = int(argv[i + 1])
+        try:
+            heads = int(argv[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("--heads requires an integer head count, e.g. --heads 12")
         del argv[i : i + 2]
     sys.argv = argv
     if len(sys.argv) not in (3, 4):
@@ -68,9 +78,8 @@ def main() -> None:
     emb_key = "sentence_encoder.bert.embeddings.word_embeddings.weight"
     if emb_key in arrays:
         hidden = int(arrays[emb_key].shape[1])
-        standard = {128: 2, 256: 4, 512: 8, 768: 12, 1024: 16}
         if heads is None:
-            heads = standard.get(hidden)
+            heads = HF_STANDARD_HEADS.get(hidden)
         if heads is None:
             sys.exit(
                 f"hidden size {hidden} is not a standard HF config; "
