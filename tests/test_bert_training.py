@@ -466,3 +466,41 @@ def test_bert_bag_gradcheck_fd_with_internal_dropout():
         return lw / ws
 
     _fd_check_bert(loss_fn, {k: grads[k] / ws for k in grads}, W)
+
+
+def test_bert_bag_val_and_ckpt_roundtrip(spark, tmp_path):
+    """The BERT bag lifecycle end to end: train_bag_attention
+    (encoder='bert', adamw) with per-epoch AUC validation through the
+    PRODUCTION bag eval path (scoring + bag_scores_batched with BERT
+    kernels, att_diag included), best-ckpt save in the HF-dotted S4
+    format, reload, re-evaluate to exactly the recorded best — the
+    train_bag_bert.py lifecycle (bag_re.py:143-151)."""
+    from tests.test_training import _labeled_instances, _val_facts_from
+
+    from opennre_spark.functions.bert_kernels import default_bert_model
+    from opennre_spark.functions.weights import load_state_dict_npz
+    from opennre_spark.operators.training import (
+        evaluate_bag_model,
+        train_bag_attention,
+    )
+
+    inst = _labeled_instances(spark, n=12)
+    facts = _val_facts_from(spark, inst)
+    _, W0 = default_bert_model(schema="reduced")
+    ckpt = str(tmp_path / "best_bert_bag.npz")
+    _, hist = train_bag_attention(
+        inst, epochs=2, batch_size=6, lr=2e-4, weight_decay=0.0,
+        seed=87, init_weights=W0, encoder="bert", opt="adamw",
+        val_instances=inst, val_facts=facts, ckpt=ckpt, metric="auc",
+    )
+    vals = [h["val_auc"] for h in hist]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    loaded = load_state_dict_npz(ckpt)
+    # att_diag round-trips under its torch state-dict name "diag"
+    assert "att_diag" in loaded and loaded["att_diag"].shape[0] == int(
+        W0["hidden"]
+    )
+    res = evaluate_bag_model(
+        inst, facts, loaded, schema="reduced", method="att", encoder="bert"
+    )
+    assert math.isclose(res["auc"], max(vals), rel_tol=1e-9)
