@@ -42,3 +42,29 @@ def test_no_orphan_oracles_and_all_callables():
         assert callable(fn), name
     for name, sql in o.items():
         assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_pyfiles_zip_contains_every_module():
+    """The committed spark-submit artifact (dist/opennre_spark.zip)
+    must contain every package module and data fixture — a stale zip
+    ships executors that silently lack new modules (this caught the
+    round-3/4 additions missing from the round-2 build)."""
+    import os
+    import zipfile
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    zpath = os.path.join(repo, "dist", "opennre_spark.zip")
+    names = set(zipfile.ZipFile(zpath).namelist())
+    for root, _, files in os.walk(os.path.join(repo, "opennre_spark")):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                rel = os.path.relpath(os.path.join(root, f), repo)
+                assert rel in names, (
+                    f"{rel} missing from dist/opennre_spark.zip — "
+                    "run python tools/make_pyfiles.py"
+                )
+    for f in os.listdir(os.path.join(repo, "fixtures")):
+        if f.endswith((".json", ".npz")):
+            assert f"fixtures/{f}" in names, f"fixtures/{f} not in zip"
