@@ -317,31 +317,65 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens, entirely in Spark SQL
-    higher-order functions: per-token xxhash64 -> per-bit +/-1 votes ->
+    higher-order functions: per-token hash -> per-bit +/-1 votes ->
     sign -> packed long. Returns (doc_id, simhash).
-    """
+
+    token_hash: 'xxhash64' (default — one JVM hash call per token, the
+    100 TB production configuration) or 'md5' (two 32-bit words parsed
+    from the md5 hex digest: `conv(substring(md5(t), 1|9, 8), 16, 10)`,
+    which DuckDB reproduces bit-for-bit as
+    `CAST('0x' || substring(md5(t), ...) AS BIGINT)` — the
+    oracle-checkable TEST-GATE configuration, same pattern as the
+    single-bit-band LSH configs; heavier per token, identical
+    semantics and identical banding/verification downstream)."""
     # Per-bit masks as int64 literals (pyspark's shiftright/shiftleft
     # accept only Python-int shift amounts, not a lambda variable).
     # Bit 63's mask is the sign bit: -(2**63) in two's complement.
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
     mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("int"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
+    if token_hash == "md5":
+        # two 32-bit md5 words; vote bit b<32 from word A's bit b,
+        # b>=32 from word B's bit b-32 (the DuckDB oracle evaluates
+        # the same construction)
+        m32 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+
+        def token_votes(t):
+            wa = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            wb = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+
+            def bits_of(w):
+                return F.transform(
+                    m32,
+                    lambda m: F.when(w.bitwiseAND(m) != 0, F.lit(1))
+                    .otherwise(F.lit(-1)),
+                )
+
+            return F.concat(bits_of(wa), bits_of(wb))
+
+    elif token_hash == "xxhash64":
+
+        def token_votes(t):
+            return F.transform(
                 mask_arr,
                 lambda m: F.when(
                     F.xxhash64(t).bitwiseAND(m) != 0, F.lit(1)
                 ).otherwise(F.lit(-1)),
-            ),
-            lambda x, y: x + y,
-        ),
+            )
+
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda x, y: x + y),
     )
     packed = F.aggregate(
         F.zip_with(
@@ -392,11 +426,14 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on each of four 16-bit bands
-    (pigeonhole: hamming <= 3 pairs share at least one exact band),
-    verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
-    sh = simhash(docs, id_col, text_col)
+    (pigeonhole: hamming <= 3 pairs share at least one exact band —
+    EXACT blocking, so the banded output equals the brute-force
+    all-pairs truth by construction), verify with bit_count(xor).
+    Returns (id_a, id_b, hamming). token_hash: see simhash."""
+    sh = simhash(docs, id_col, text_col, token_hash=token_hash)
     bands = sh.select(
         id_col,
         "simhash",

@@ -684,11 +684,23 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over the dup view (exact dups -> hamming
+    0, seeded near-dups -> small hamming). token_hash='md5' is the
+    oracle-gate configuration: both 32-bit hash words parse from the
+    md5 hex digest identically in Spark (`conv(..., 16, 10)`) and
+    DuckDB (`CAST('0x' || ... AS BIGINT)`), so the DuckDB twin
+    recomputes the ENTIRE simhash (votes, packing, banding-equivalent
+    brute-force pairs) bit-for-bit — the banded blocking is exact by
+    pigeonhole, so blocked output == all-pairs truth. Production keeps
+    the default xxhash64 token hash (one JVM hash call per token)."""
     from ..operators.dedup import simhash_dup_pairs
 
-    # over the dup view: exact dups give hamming 0, near-dups small
-    # hamming — non-vacuous evidence for the banded blocking path.
-    return simhash_dup_pairs(_docs_dup_view(spark, sf_dir), max_hamming=3)
+    pairs = simhash_dup_pairs(
+        _docs_dup_view(spark, sf_dir), max_hamming=3, token_hash="md5"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # perturbed-copy embeddings view: every 10th vector re-appears with its
@@ -1126,6 +1138,44 @@ _EXTRA_ORACLES: dict[str, str] = {
       md5(array_to_string(t, ' ')) AS fingerprint_md5
     FROM hits
     """,
+    # full SimHash recomputation: the same md5-word votes, two's-
+    # complement bit packing, and (by pigeonhole-exactness of the
+    # banded blocking) the brute-force all-pairs truth
+    "dedup_simhash_pairs": f"""
+    WITH docs AS ({_DOCS_DUP_VIEW}),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM docs
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) AS wa,
+             CAST(concat('0x', substring(md5(t), 9, 8)) AS BIGINT) AS wb
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN b.bit < 32
+                      THEN CASE WHEN (wa >> b.bit) & 1 = 1 THEN 1 ELSE -1 END
+                      ELSE CASE WHEN (wb >> (b.bit - 32)) & 1 = 1 THEN 1 ELSE -1 END
+                 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN
+                  CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE (CAST(1 AS BIGINT) << bit) END
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     "media_frame_sample": """
     WITH m AS (
       SELECT CAST(i AS BIGINT) AS media_id, CAST(1 + i % 30 AS INTEGER) AS n_frames
@@ -1156,7 +1206,7 @@ _EXTRA_ORACLES: dict[str, str] = {
 def queries() -> dict:
     """Exactly 50 entries, ORACLE-BEARING FIRST: the driver's
     correctness gate evaluates the first 50 queries, so every entry
-    with a DuckDB oracle (37) precedes every rows-only demo (13) and
+    with a DuckDB oracle (38) precedes every rows-only demo (12) and
     nothing this function returns goes unevaluated (VERDICT r3 #1 —
     the r3 battery had 55 entries and the last 5, two of them
     previously oracle-green, silently fell outside the window).
@@ -1181,6 +1231,7 @@ def queries() -> dict:
     out["text_document_stats"] = _q_doc_stats
     out["media_frame_sample"] = _q_media_frames
     out["media_resize_plan"] = _q_media_resize
+    out["dedup_simhash_pairs"] = _q_simhash_pairs
     # --- 13 rows-only entries (not ANSI-SQL-expressible) last ---
     out["kg_triples_sentence"] = _kg_query("sentence")
     out["kg_triples_bag_att"] = _kg_query("att")
@@ -1195,7 +1246,6 @@ def queries() -> dict:
     out["kg_triples_pcnn"] = _kg_pcnn
     out["kg_triples_bert"] = _kg_bert
     out["kg_triples_canonical"] = _kg_canonical
-    out["dedup_simhash_pairs"] = _q_simhash_pairs
     out["ann_ivf_topk"] = _q_ann_ivf
     out["kg_train_then_extract"] = _kg_train_then_extract
     out["media_feature_extract"] = _q_media_features

@@ -442,3 +442,28 @@ def test_winnow_hypothesis_vs_python(spark):
             assert got.get(i, set()) == py_winnow(t), repr(t)
 
     run()
+
+
+def test_simhash_md5_variant_semantics(spark, docs):
+    """token_hash='md5' (the oracle-gate configuration — both hash
+    words parse from the md5 hex digest identically in Spark and
+    DuckDB) preserves the simhash semantics: exact duplicates collide,
+    and the banded pair finder sees them at hamming 0."""
+    from pyspark.sql import functions as F
+
+    dup = docs.unionByName(
+        docs.limit(5).select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    sh = {r.doc_id: r.simhash for r in
+          dedup.simhash(dup, token_hash="md5").collect()}
+    src_ids = sorted(k for k in sh if k < 10_000)[:5]
+    for sid in src_ids:
+        if sid + 10_000 in sh:
+            assert sh[sid] == sh[sid + 10_000]
+    pairs = dedup.simhash_dup_pairs(
+        dup, max_hamming=0, token_hash="md5"
+    ).collect()
+    exact = {(r.id_a, r.id_b) for r in pairs}
+    for sid in src_ids:
+        if sid + 10_000 in sh:
+            assert (sid, sid + 10_000) in exact
