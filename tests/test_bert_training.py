@@ -504,3 +504,33 @@ def test_bert_bag_val_and_ckpt_roundtrip(spark, tmp_path):
         inst, facts, loaded, schema="reduced", method="att", encoder="bert"
     )
     assert math.isclose(res["auc"], max(vals), rel_tol=1e-9)
+
+
+def test_bert_resume_equals_uninterrupted(spark, tmp_path):
+    """resume_dir through the BERT family: epoch checkpoints save in
+    the HF-dotted S4 format and reload through the content dispatch,
+    adamw moments (keyed by the BERT param family) survive the
+    restart — staged == uninterrupted."""
+    from tests.test_training import _labeled_instances
+
+    from opennre_spark.functions.bert_kernels import default_bert_model
+    from opennre_spark.operators.training import train_sentence_model
+
+    inst = _labeled_instances(spark, n=10)
+    _, W0 = default_bert_model(schema="reduced")
+    kw = dict(
+        batch_size=5, lr=2e-4, weight_decay=0.0, seed=93,
+        init_weights=W0, encoder="bert", opt="adamw",
+    )
+    W_full, hist_full = train_sentence_model(inst, epochs=2, **kw)
+    rdir = str(tmp_path / "bert_resume")
+    train_sentence_model(inst, epochs=1, resume_dir=rdir, **kw)
+    W_res, hist_res = train_sentence_model(inst, epochs=2, resume_dir=rdir, **kw)
+    assert len(hist_res) == len(hist_full) == 2
+    for hf, hr in zip(hist_full, hist_res):
+        assert math.isclose(hf["avg_loss"], hr["avg_loss"], rel_tol=1e-9)
+    for k in gk.param_keys(W0):
+        np.testing.assert_allclose(
+            W_res[k], W_full[k], rtol=0, atol=1e-6,
+            err_msg=f"BERT param {k} diverged across resume",
+        )
