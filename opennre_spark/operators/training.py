@@ -734,6 +734,14 @@ def train_bag_attention(
     checkpoint — must be executor-visible shared storage on a
     multi-node cluster (see evaluate_bag_model).
 
+    encoder='bert'/'bert_entity' fine-tunes the transformer through
+    the bag kernels' encoder dispatch (the reference's
+    example/train_bag_bert.py branch, typically with opt='adamw');
+    `bert_dropout` drives the four HF-internal dropout sites there
+    (HF default 0.1; 0 = the deterministic parity surface) and is
+    ignored by the CNN/PCNN family, whose dropout sites are the
+    reference's own encoder/bag-level ones under `dropout`.
+
     Returns (trained weight dict, per-epoch metric rows with the same
     AverageMeter semantics as the reference's progress bar: per-step
     batch-mean loss/acc/pos_acc averaged over the epoch's steps)."""
