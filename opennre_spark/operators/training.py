@@ -65,6 +65,34 @@ _PARTIAL_SCHEMA = (
 )
 
 
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    """Materialize a table the training loop will scan every step.
+
+    mode='local' (default): `localCheckpoint` — partitions live on the
+    executors that computed them; cheapest, but an executor loss during
+    a long run loses them (no lineage remains to recompute). Local
+    mode's single JVM has no such failure domain.
+
+    mode='reliable': `checkpoint` to the session's checkpoint
+    directory — survives executor loss; requires
+    `spark.sparkContext.setCheckpointDir(<shared storage>)` first,
+    which this raises about explicitly rather than letting Spark fail
+    mid-epoch. The plan downstream is identical either way
+    (Scan ExistingRDD / Scan from checkpoint); docs/PLANS.md round-4
+    fault-tolerance note."""
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode == "reliable":
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint_mode='reliable' needs "
+                "spark.sparkContext.setCheckpointDir(<shared storage>) "
+                "before training starts"
+            )
+        return df.checkpoint()
+    raise ValueError(f"unknown checkpoint_mode {mode!r}")
+
+
 def tree_combine(partials_df: DataFrame, fanin: int) -> DataFrame:
     """Two-level gradient combine for very wide clusters: instead of
     collecting one partial per partition to the driver (fine at tens of
@@ -689,6 +717,7 @@ def train_bag_attention(
     warmup_step: int = 0,
     val_tmp_dir: str | None = None,
     bert_dropout: float = 0.0,
+    checkpoint_mode: str = "local",
 ) -> tuple[dict, list[dict]]:
     """BagRE.train_model (bag_re.py:100-152) as synchronous distributed
     SGD. `instances` are labeled rows (text, spans, h_id, t_id,
@@ -779,8 +808,10 @@ def train_bag_attention(
         # instances — materialize so the count does not replay the full
         # labeling+encode lineage a second time (the bag table is built
         # from the same checkpoint, so nothing runs twice)
-        encoded = encoded.localCheckpoint()
-    bags = assemble_train_bags(encoded, bag_cap=bag_cap).localCheckpoint()
+        encoded = _materialize(encoded, checkpoint_mode)
+    bags = _materialize(
+        assemble_train_bags(encoded, bag_cap=bag_cap), checkpoint_mode
+    )
     n_bags = bags.count()
     if n_bags == 0:
         return weights, []
@@ -1056,6 +1087,7 @@ def train_sentence_model(
     val_tmp_dir: str | None = None,
     bert_dropout: float = 0.0,
     multilabel: bool = False,
+    checkpoint_mode: str = "local",
 ) -> tuple[dict, list[dict]]:
     """SentenceRE.train_model (sentence_re.py:96-139): per-sentence CE
     over the softmax classifier, same distributed step shape as
@@ -1116,9 +1148,10 @@ def train_sentence_model(
         weights = dict(w0)
     else:
         weights = dict(init_weights)
-    encoded = encode_labeled(
-        instances, schema=schema, encoder=encoder
-    ).localCheckpoint()
+    encoded = _materialize(
+        encode_labeled(instances, schema=schema, encoder=encoder),
+        checkpoint_mode,
+    )
     n_inst = encoded.count()
     if n_inst == 0:
         return weights, []

@@ -1044,3 +1044,38 @@ def test_unused_params_stay_untouched(spark):
     # ...while bag ATT training does move it (diag is in its graph)
     W_att, _ = train_bag_attention(inst, **kw, method="att")
     assert not np.array_equal(W_att["att_diag"], W0["att_diag"])
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """checkpoint_mode='reliable' materializes the encoded/bag tables
+    through setCheckpointDir-backed checkpoints (fault-tolerant on a
+    real cluster; see docs/PLANS.md round-4 note) — training results
+    must be identical to the default localCheckpoint route, and asking
+    for it without a checkpoint dir must fail fast, not mid-epoch."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import train_bag_attention
+
+    inst = _labeled_instances(spark, n=16)
+    _, W0 = default_model(schema="reduced")
+    kw = dict(epochs=2, batch_size=8, lr=0.3, weight_decay=1e-4,
+              seed=71, init_weights=W0)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        train_bag_attention(inst, checkpoint_mode="reliable", **kw)
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        train_bag_attention(inst, checkpoint_mode="bogus", **kw)
+    W_local, hist_local = train_bag_attention(inst, **kw)
+    sc.setCheckpointDir(str(tmp_path / "ckpt_dir"))
+    try:
+        W_rel, hist_rel = train_bag_attention(
+            inst, checkpoint_mode="reliable", **kw
+        )
+    finally:
+        # Option(null) resets the Scala-side checkpointDir to None
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None  # restore verified (idempotent)
+    for hl, hr in zip(hist_local, hist_rel):
+        assert math.isclose(hl["avg_loss"], hr["avg_loss"], rel_tol=1e-12)
+    for k in gk.PARAM_KEYS:
+        np.testing.assert_array_equal(W_rel[k], W_local[k])
