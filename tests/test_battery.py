@@ -68,3 +68,31 @@ def test_pyfiles_zip_contains_every_module():
     for f in os.listdir(os.path.join(repo, "fixtures")):
         if f.endswith((".json", ".npz")):
             assert f"fixtures/{f}" in names, f"fixtures/{f} not in zip"
+
+
+def test_pyfiles_zip_imports_standalone():
+    """Executors import the package FROM the zip (spark-submit
+    --py-files), so zipimport must resolve the package AND its data
+    fixtures (rel2id json, seed-frozen weights) without a filesystem
+    checkout — subprocess with only the zip on sys.path."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from opennre_spark import relations\n"
+        "assert len(relations.rel2id_for('wiki80')) == 80\n"
+        "from opennre_spark.functions.weights import default_model\n"
+        "v, w = default_model(schema='reduced')\n"
+        "assert w['fc_w'].shape[0] == 8\n"
+        "print('zip-import-ok')\n"
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", code,
+         os.path.join(repo, "dist", "opennre_spark.zip")],
+        capture_output=True, text=True, cwd="/tmp", timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[-1500:]
+    assert "zip-import-ok" in p.stdout
