@@ -117,9 +117,30 @@ def flatten_grads(grads: dict, weights: dict | None = None) -> np.ndarray:
     elif "conv_w" in grads:
         keys = PARAM_KEYS
     else:
-        # zero_grads builds in param_keys order, so insertion order of a
-        # kernel-produced grads dict IS the canonical order
-        keys = tuple(grads)
+        # BERT grads without a weights dict: rebuild the canonical
+        # param_keys order from the grad keys themselves (layer count
+        # from the l{i}_ blocks present) instead of trusting dict
+        # insertion order — a caller-built grads dict in any other
+        # order would otherwise silently flatten in the wrong layout
+        # (ADVICE r4). Unknown keys fail fast below via KeyError.
+        n_layers = 0
+        while f"l{n_layers}_q_w" in grads:
+            n_layers += 1
+        keys = ["word_emb", "pos_emb", "type_emb", "emb_ln_g", "emb_ln_b"]
+        for i in range(n_layers):
+            keys.extend(f"l{i}_{s}" for s in _BERT_LAYER_PARAMS)
+        keys += ["pool_w", "pool_b"]
+        if "ent_w" in grads:
+            keys += ["ent_w", "ent_b"]
+        keys += ["fc_w", "fc_b"]
+        if "att_diag" in grads:
+            keys.append("att_diag")
+        if len(keys) != len(grads):
+            missing = sorted(set(grads) - set(keys))
+            raise ValueError(
+                f"grads dict has keys outside the canonical layout: "
+                f"{missing[:5]} — pass the weights dict to fix the order"
+            )
     return np.concatenate([grads[k].ravel() for k in keys])
 
 

@@ -755,9 +755,16 @@ def train_bag_attention(
     get_linear_schedule_with_warmup around any optimizer when
     warmup_step > 0, sentence_re.py:84-88 — BagRE itself has no
     scheduler, so 0 is the reference-faithful default here). The
-    schedule position is the pure function epoch*n_batches + step, so
-    a resumed run replays identical multipliers (delta vs the
-    reference: an empty hash-mod batch still advances the schedule).
+    schedule position is the reference's global_step — the count of
+    COMPLETED optimizer steps (scheduler.step() after optimizer.step(),
+    sentence_re.py:97,124-128) — so a hash-mod batch that comes up
+    empty (impossible in the reference's DataLoader, possible here on
+    tiny corpora) skips the update AND the schedule position, exactly
+    like the reference skipping a batch would. Schedule length is the
+    reference's floor formula `len(dataset) // batch_size * max_epoch`
+    (sentence_re.py:86). On resume the position is rebuilt from the
+    per-epoch n_steps history, so a staged run replays identical
+    multipliers.
 
     val_tmp_dir: directory for the per-epoch validation's temporary
     checkpoint — must be executor-visible shared storage on a
@@ -841,7 +848,12 @@ def train_bag_attention(
             best_metric = max(best) if best else None
     sort_cols = [c for c in _SORT_COLS if c in instances.columns]
     n_batches = max(1, math.ceil(n_bags / batch_size))
-    total_steps = epochs * n_batches
+    # reference schedule length: len(dataset) // batch_size * max_epoch
+    # (sentence_re.py:86 — floor, NOT epochs * n_batches; ADVICE r4)
+    total_steps = (n_bags // batch_size) * epochs
+    # reference global_step: completed optimizer steps only
+    # (sentence_re.py:97,124-128); resume rebuilds it from history
+    global_step = sum(int(h.get("n_steps", 0)) for h in history)
     sc = spark.sparkContext
     for epoch in range(start_epoch, epochs):
         with_batch = bags.withColumn(
@@ -873,7 +885,7 @@ def train_bag_attention(
             w_sum = st["w_sum"]
             lr_mult = (
                 gk.linear_warmup_multiplier(
-                    epoch * n_batches + step, warmup_step, total_steps
+                    global_step, warmup_step, total_steps
                 )
                 if warmup_step > 0
                 else 1.0
@@ -887,9 +899,11 @@ def train_bag_attention(
                 (st["n_pos_correct"] / st["n_pos"]) if st["n_pos"] > 0 else 0.0
             )
             n_steps += 1
+            global_step += 1
         row = {
             "epoch": epoch,
             "n_steps": n_steps,
+            "global_step": global_step,
             "avg_loss": sums["loss"] / max(n_steps, 1),
             "avg_acc": sums["acc"] / max(n_steps, 1),
             "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
@@ -1108,15 +1122,18 @@ def train_sentence_model(
     resume_dir: the same epoch-checkpoint/resume machinery as the bag
     loop (weights + optimizer moments + atomic manifest per completed
     epoch) — the reference checkpoints sentence training too
-    (sentence_re.py:133-139). The batch schedule AND the warmup
-    multiplier are pure functions of (seed, epoch, step), so a resumed
-    run replays the identical remaining steps.
+    (sentence_re.py:133-139). The batch schedule is a pure function of
+    (seed, epoch, step) and the warmup position is rebuilt from the
+    per-epoch n_steps history, so a resumed run replays the identical
+    remaining steps.
 
     warmup_step: linear warmup + decay (gk.linear_warmup_multiplier) —
     SentenceRE's scheduler (sentence_re.py:84-88; its ctor default is
     300). Default 0 here: warmup-off is this engine's established
     parity surface and the schedule is opt-in like every other
-    reference hyperparameter.
+    reference hyperparameter. Position/length follow the reference's
+    global_step and floor-division conventions — see
+    train_bag_attention's warmup_step note.
 
     multilabel=True switches the step to MultiLabelSentenceRE.train_model
     semantics (multi_label_sentence_re.py:97-136): SigmoidNN forward,
@@ -1183,7 +1200,10 @@ def train_sentence_model(
             best_metric = max(best) if best else None
     sort_cols = [c for c in _SORT_COLS if c in encoded.columns]
     n_batches = max(1, math.ceil(n_inst / batch_size))
-    total_steps = epochs * n_batches
+    # reference schedule length (floor) + global_step position — see
+    # train_bag_attention's warmup_step note
+    total_steps = (n_inst // batch_size) * epochs
+    global_step = sum(int(h.get("n_steps", 0)) for h in history)
     sc = spark.sparkContext
     for epoch in range(start_epoch, epochs):
         with_batch = encoded.withColumn(
@@ -1216,7 +1236,7 @@ def train_sentence_model(
             w_sum = st["w_sum"]
             lr_mult = (
                 gk.linear_warmup_multiplier(
-                    epoch * n_batches + step, warmup_step, total_steps
+                    global_step, warmup_step, total_steps
                 )
                 if warmup_step > 0
                 else 1.0
@@ -1230,9 +1250,11 @@ def train_sentence_model(
                 (st["n_pos_correct"] / st["n_pos"]) if st["n_pos"] > 0 else 0.0
             )
             n_steps += 1
+            global_step += 1
         row = {
             "epoch": epoch,
             "n_steps": n_steps,
+            "global_step": global_step,
             "avg_loss": sums["loss"] / max(n_steps, 1),
             "avg_acc": sums["acc"] / max(n_steps, 1),
             "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),

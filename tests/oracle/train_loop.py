@@ -125,24 +125,31 @@ def _serial_step(W, acc_g, w_sum, lr, weight_decay, opt, opt_state,
 
 def serial_train_bags(
     bags_by_epoch_batch, W0, lr, weight_decay, class_weights=None,
-    opt="sgd", method="att", warmup_step=0,
+    opt="sgd", method="att", warmup_step=0, total_steps=None,
 ):
     """Run the EXACT schedule serially, one bag per kernel call.
 
     bags_by_epoch_batch: list (per epoch) of lists (per step) of
     (members, label) bags — the same assignment the distributed loop
     used. warmup_step enables the linear-warmup schedule with the
-    distributed loop's position convention (epoch*n_batches + step;
-    empty batches advance the position). Returns (weights, history)
-    with the reference's AverageMeter semantics (per-step batch means
-    averaged over the epoch)."""
+    reference's position convention: global_step = count of COMPLETED
+    optimizer steps (scheduler.step() after optimizer.step(),
+    sentence_re.py:97,124-128 — an empty batch advances nothing).
+    total_steps: the reference's num_training_steps
+    (len(dataset) // batch_size * max_epoch, sentence_re.py:86);
+    defaults to n_epochs * n_batches when not given. Returns
+    (weights, history) with the reference's AverageMeter semantics
+    (per-step batch means averaged over the epoch)."""
     W = dict(W0)
     opt_state = gk.adam_init(W) if opt in ("adam", "adamw") else None
     used_keys = gk.used_param_keys(W, model="bag", method=method)
     history = []
     n_epochs = len(bags_by_epoch_batch)
+    global_step = 0
     for epoch, epoch_batches in enumerate(bags_by_epoch_batch):
         n_batches = len(epoch_batches)
+        if total_steps is None:
+            total_steps = n_epochs * n_batches
         sums = {"loss": 0.0, "acc": 0.0, "pos_acc": 0.0}
         n_steps = 0
         for step, batch in enumerate(epoch_batches):
@@ -150,8 +157,7 @@ def serial_train_bags(
                 continue
             lr_mult = (
                 gk.linear_warmup_multiplier(
-                    epoch * n_batches + step, warmup_step,
-                    n_epochs * n_batches,
+                    global_step, warmup_step, total_steps,
                 )
                 if warmup_step > 0
                 else 1.0
@@ -188,10 +194,12 @@ def serial_train_bags(
             sums["acc"] += n_correct / len(batch)
             sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
             n_steps += 1
+            global_step += 1
         history.append(
             {
                 "epoch": len(history),
                 "n_steps": n_steps,
+                "global_step": global_step,
                 "avg_loss": sums["loss"] / max(n_steps, 1),
                 "avg_acc": sums["acc"] / max(n_steps, 1),
                 "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),
@@ -202,12 +210,13 @@ def serial_train_bags(
 
 def serial_train_sentences_bert(
     rows_by_epoch_batch, W0, lr, weight_decay, class_weights=None,
-    opt="adamw", warmup_step=0,
+    opt="adamw", warmup_step=0, total_steps=None,
 ):
     """BERT sentence-model serial twin: one ROW per kernel call through
     bert_grad_kernels.bert_sentence_train_batch, the distributed loop's
-    schedule + warmup conventions, reference AverageMeter semantics.
-    rows: (token, att_mask, pos1, pos2, label)."""
+    schedule + the reference's warmup conventions (global_step position,
+    floor total_steps — see serial_train_bags), reference AverageMeter
+    semantics. rows: (token, att_mask, pos1, pos2, label)."""
     from opennre_spark.functions import bert_grad_kernels as bgk
 
     W = dict(W0)
@@ -215,8 +224,11 @@ def serial_train_sentences_bert(
     used_keys = gk.used_param_keys(W, model="sentence")
     history = []
     n_epochs = len(rows_by_epoch_batch)
+    global_step = 0
     for epoch, epoch_batches in enumerate(rows_by_epoch_batch):
         n_batches = len(epoch_batches)
+        if total_steps is None:
+            total_steps = n_epochs * n_batches
         sums = {"loss": 0.0, "acc": 0.0, "pos_acc": 0.0}
         n_steps = 0
         for step, batch in enumerate(epoch_batches):
@@ -224,8 +236,7 @@ def serial_train_sentences_bert(
                 continue
             lr_mult = (
                 gk.linear_warmup_multiplier(
-                    epoch * n_batches + step, warmup_step,
-                    n_epochs * n_batches,
+                    global_step, warmup_step, total_steps,
                 )
                 if warmup_step > 0
                 else 1.0
@@ -256,10 +267,12 @@ def serial_train_sentences_bert(
             sums["acc"] += n_correct / len(batch)
             sums["pos_acc"] += (n_pos_correct / n_pos) if n_pos > 0 else 0.0
             n_steps += 1
+            global_step += 1
         history.append(
             {
                 "epoch": len(history),
                 "n_steps": n_steps,
+                "global_step": global_step,
                 "avg_loss": sums["loss"] / max(n_steps, 1),
                 "avg_acc": sums["acc"] / max(n_steps, 1),
                 "avg_pos_acc": sums["pos_acc"] / max(n_steps, 1),

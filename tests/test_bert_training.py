@@ -352,11 +352,13 @@ def test_distributed_bert_training_matches_serial(spark):
             )
         schedule.append(batches)
     W_ser, hist_ser = serial_train_sentences_bert(
-        schedule, dict(W0), lr, 0.0, opt="adamw", warmup_step=warmup
+        schedule, dict(W0), lr, 0.0, opt="adamw", warmup_step=warmup,
+        total_steps=(n_inst // batch_size) * epochs,
     )
     for hd, hs in zip(hist_dist, hist_ser):
         assert math.isclose(hd["avg_loss"], hs["avg_loss"], rel_tol=1e-5)
         assert math.isclose(hd["avg_acc"], hs["avg_acc"], rel_tol=1e-9)
+        assert hd["global_step"] == hs["global_step"]
     for k in gk.param_keys(W0):
         np.testing.assert_allclose(
             W_dist[k], W_ser[k], rtol=0, atol=2e-6,

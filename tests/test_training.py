@@ -718,7 +718,8 @@ def test_linear_warmup_multiplier():
 def test_distributed_adamw_warmup_matches_serial(spark):
     """opt='adamw' + linear warmup through the same schedule harness:
     decoupled decay, no-decay bias group, and the per-step lr
-    multiplier (pure function of epoch*n_batches+step) must all evolve
+    multiplier (the reference's global_step position over the floor
+    total_steps, sentence_re.py:86,97,124-128) must all evolve
     identically in the distributed and serial loops."""
     from opennre_spark.functions.weights import default_model
     from opennre_spark.operators.training import train_bag_attention
@@ -737,10 +738,56 @@ def test_distributed_adamw_warmup_matches_serial(spark):
     n_batches = max(1, math.ceil(n_bags / batch_size))
     schedule = _collect_bag_schedule(spark, inst, epochs, n_batches, seed)
     W_ser, hist_ser = serial_train_bags(
-        schedule, dict(W0), lr, 1e-4, opt="adamw", warmup_step=warmup
+        schedule, dict(W0), lr, 1e-4, opt="adamw", warmup_step=warmup,
+        total_steps=(n_bags // batch_size) * epochs,
     )
     for hd, hs in zip(hist_dist, hist_ser):
         assert math.isclose(hd["avg_loss"], hs["avg_loss"], rel_tol=1e-6)
+        assert hd["global_step"] == hs["global_step"]
+    for k in gk.PARAM_KEYS:
+        np.testing.assert_allclose(W_dist[k], W_ser[k], rtol=0, atol=2e-6)
+
+
+def test_empty_batch_does_not_advance_warmup_schedule(spark):
+    """An empty hash-mod batch (impossible in the reference's
+    DataLoader, possible here on tiny corpora) must skip the optimizer
+    update AND the schedule position: the reference's scheduler
+    advances only on completed optimizer steps (global_step,
+    sentence_re.py:97,124-128). Finds a seed whose hash-mod schedule
+    leaves a batch empty, then asserts the distributed loop's recorded
+    step count and final weights equal the serial oracle replaying the
+    reference convention."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.training import train_bag_attention
+
+    inst = _labeled_instances(spark, n=5)  # 5 bags
+    _, W0 = default_model(schema="reduced")
+    epochs, batch_size, lr = 2, 1, 0.05
+    n_bags = sum(len(b) for b in _collect_bag_schedule(spark, inst, 1, 1, 1)[0])
+    n_batches = max(1, math.ceil(n_bags / batch_size))
+    seed = schedule = None
+    for cand in range(1, 30):
+        sched = _collect_bag_schedule(spark, inst, epochs, n_batches, cand)
+        if any(not b for ep in sched for b in ep):
+            seed, schedule = cand, sched
+            break
+    assert seed is not None, "no candidate seed produced an empty batch"
+    n_nonempty = sum(1 for ep in schedule for b in ep if b)
+    assert n_nonempty < epochs * n_batches  # the schedule really has a hole
+
+    W_dist, hist = train_bag_attention(
+        inst, epochs=epochs, batch_size=batch_size, lr=lr,
+        weight_decay=0.0, seed=seed, init_weights=W0, warmup_step=2,
+    )
+    assert hist[-1]["global_step"] == n_nonempty
+    W_ser, hist_ser = serial_train_bags(
+        schedule, dict(W0), lr, 0.0, warmup_step=2,
+        total_steps=(n_bags // batch_size) * epochs,
+    )
+    assert (
+        [h["global_step"] for h in hist]
+        == [h["global_step"] for h in hist_ser]
+    )
     for k in gk.PARAM_KEYS:
         np.testing.assert_allclose(W_dist[k], W_ser[k], rtol=0, atol=2e-6)
 
