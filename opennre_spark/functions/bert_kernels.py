@@ -302,7 +302,8 @@ def load_bert_state_dict_npz(
 
 
 def save_bert_state_dict_npz(
-    weights: dict, path: str, rel2id: dict | None = None
+    weights: dict, path: str, rel2id: dict | None = None,
+    keep_diag: bool = True,
 ) -> None:
     """Checkpoint sink for TRAINED BERT weights: writes the HF-style
     dotted-key .npz rendition (the exact inverse of
@@ -311,7 +312,15 @@ def save_bert_state_dict_npz(
     produces and reloads through the production loader — the
     train -> save -> load -> infer lifecycle is one format end to end.
     Records __heads__ (the loader refuses to guess nonstandard head
-    counts) and the engine's __rel2id__. Atomic (tmp + rename)."""
+    counts) and the engine's __rel2id__. Atomic (tmp + rename).
+
+    keep_diag=False omits the `diag` entry: the reference's SoftmaxNN
+    state dict has no such key (only BagAttention creates it,
+    bag_attention.py:29), so a sentence-model save that included it
+    would deviate from the format a strict torch load_state_dict
+    expects (ADVICE r4). The loader synthesizes att_diag=ones on
+    reload, which is exactly the untrained value for non-attention
+    models."""
     import json
     import os
 
@@ -332,7 +341,7 @@ def save_bert_state_dict_npz(
     if "ent_w" in weights:
         put("sentence_encoder.linear.weight", "ent_w", False)
         put("sentence_encoder.linear.bias", "ent_b", False)
-    if "att_diag" in weights:
+    if keep_diag and "att_diag" in weights:
         put("diag", "att_diag", False)  # torch state-dict name
     arrays["__heads__"] = np.int64(int(weights["heads"]))
     if rel2id is not None:

@@ -216,7 +216,8 @@ def load_state_dict_npz(
 
 
 def save_weights_npz(
-    weights: dict, path: str, rel2id: dict[str, int] | None = None
+    weights: dict, path: str, rel2id: dict[str, int] | None = None,
+    keep_diag: bool = True,
 ) -> None:
     """Checkpoint sink for TRAINED weights (the `torch.save({'state_dict':
     ...})` best-checkpoint write, bag_re.py:146-149 / sentence_re.py:135-138):
@@ -228,14 +229,20 @@ def save_weights_npz(
     BERT weight dicts (no conv_w) delegate to the HF-dotted-key sink
     (bert_kernels.save_bert_state_dict_npz) — same dispatch as the
     loader, so the train loop's ckpt/resume machinery is
-    encoder-family-agnostic."""
+    encoder-family-agnostic. keep_diag=False drops BagAttention's
+    `diag` from BERT saves — sentence-model checkpoints should match
+    the reference SoftmaxNN state-dict key set (see
+    save_bert_state_dict_npz); the engine-native CNN format is
+    unaffected (its loader always expects att_diag)."""
     import json
     import os
 
     if "conv_w" not in weights:
         from .bert_kernels import save_bert_state_dict_npz
 
-        save_bert_state_dict_npz(weights, path, rel2id=rel2id)
+        save_bert_state_dict_npz(
+            weights, path, rel2id=rel2id, keep_diag=keep_diag
+        )
         return
 
     arrays = {k: np.asarray(weights[k]) for k in (

@@ -922,7 +922,8 @@ def train_bag_attention(
                     from ..functions.weights import save_weights_npz
 
                     save_weights_npz(
-                        weights, ckpt, rel2id=relations.rel2id_for(schema)
+                        weights, ckpt, rel2id=relations.rel2id_for(schema),
+                        keep_diag=(method == "att"),
                     )
         history.append(row)
         if resume_dir is not None:
@@ -931,7 +932,8 @@ def train_bag_attention(
         from .. import relations
         from ..functions.weights import save_weights_npz
 
-        save_weights_npz(weights, ckpt, rel2id=relations.rel2id_for(schema))
+        save_weights_npz(weights, ckpt, rel2id=relations.rel2id_for(schema),
+                         keep_diag=(method == "att"))
     return weights, history
 
 
@@ -1280,7 +1282,8 @@ def train_sentence_model(
                     from ..functions.weights import save_weights_npz
 
                     save_weights_npz(
-                        weights, ckpt, rel2id=relations.rel2id_for(schema)
+                        weights, ckpt, rel2id=relations.rel2id_for(schema),
+                        keep_diag=False,  # SoftmaxNN ckpts carry no diag
                     )
         history.append(row)
         if resume_dir is not None:
@@ -1289,5 +1292,6 @@ def train_sentence_model(
         from .. import relations
         from ..functions.weights import save_weights_npz
 
-        save_weights_npz(weights, ckpt, rel2id=relations.rel2id_for(schema))
+        save_weights_npz(weights, ckpt, rel2id=relations.rel2id_for(schema),
+                         keep_diag=False)
     return weights, history

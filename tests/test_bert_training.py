@@ -395,6 +395,32 @@ def test_bert_train_val_ckpt_roundtrip(spark, tmp_path):
     assert int(loaded["heads"]) == int(W0["heads"])
     acc = evaluate_sentence_acc(inst, loaded, encoder="bert")
     assert math.isclose(acc, max(vals), rel_tol=1e-12)
+    # sentence-model saves match the reference SoftmaxNN state-dict key
+    # set: no BagAttention `diag` entry (ADVICE r4); the loader
+    # synthesizes the untrained ones value back
+    raw = dict(np.load(ckpt))
+    assert "diag" not in raw
+    np.testing.assert_array_equal(
+        loaded["att_diag"], np.ones_like(loaded["att_diag"])
+    )
+
+
+def test_bert_bag_att_ckpt_keeps_diag(tmp_path):
+    """Bag-attention saves DO carry `diag` under its torch state-dict
+    name (BagAttention creates the parameter, bag_attention.py:29) —
+    the sentence-model omission must not leak into the bag path."""
+    from opennre_spark.functions.bert_kernels import default_bert_model
+    from opennre_spark.functions.weights import save_weights_npz
+
+    _, W = default_bert_model(schema="reduced")
+    W = dict(W)
+    W["att_diag"] = np.arange(
+        W["att_diag"].size, dtype=np.float32
+    )  # distinguishable from the ones init
+    path = str(tmp_path / "bag_att.npz")
+    save_weights_npz(W, path, keep_diag=True)
+    raw = dict(np.load(path))
+    np.testing.assert_array_equal(raw["diag"], W["att_diag"])
 
 
 def test_adamw_no_decay_covers_layernorm_gains():
