@@ -19,8 +19,12 @@ fetches checkpoints/GloVe from an OSS bucket — out of scope per
 SURVEY.md §2.1 S5); weights are the engine's seed-frozen stand-ins
 unless `ckpt=` supplies an exported .npz (tools/export_ckpt.py), so
 scores are only reference-exact when a real exported checkpoint is
-given. tacred_* names raise like unknown names do in the reference
-(no tacred rel2id exists in this sandbox to validate against).
+given. The reference SUPPORTS tacred_bert_softmax /
+tacred_bertentity_softmax (pretrain.py:163-176, downloading the
+tacred rel2id at runtime); here those names require `ckpt=` because
+the label map must come from the exported checkpoint's embedded
+`__rel2id__` (no tacred rel2id file exists in either tree) — with a
+ckpt they resolve exactly like the reference's branch.
 """
 
 from __future__ import annotations
@@ -41,6 +45,14 @@ _NAME_MAP = {
     "nyt10_cnn_softmax": ("nyt10", "cnn"),
     "nyt10_pcnn_softmax": ("nyt10", "pcnn"),
     "reduced_cnn_softmax": ("reduced", "cnn"),
+}
+
+# reference names whose rel2id the reference downloads at runtime
+# (pretrain.py:163-171) — servable here only through an exported
+# checkpoint's embedded __rel2id__ (relations.ckpt_rel2id)
+_CKPT_SCHEMA_NAMES = {
+    "tacred_bert_softmax": "bert",
+    "tacred_bertentity_softmax": "bert_entity",
 }
 
 
@@ -156,12 +168,28 @@ class Model:
 def get_model(model_name: str, ckpt: str | None = None) -> Model:
     """pretrain.get_model (pretrain.py:126-180) without the downloads:
     resolve a reference model name to an engine Model. `ckpt` accepts
-    an exported .npz state dict (S4) for reference-exact weights."""
+    an exported .npz state dict (S4) for reference-exact weights.
+
+    tacred_* names ARE supported by the reference (pretrain.py:163-176
+    fetches the tacred rel2id + checkpoint at runtime); with no
+    download path, they resolve here only when `ckpt=` supplies an
+    export whose embedded `__rel2id__` provides the label map."""
+    if model_name in _CKPT_SCHEMA_NAMES:
+        if ckpt is None:
+            raise NotImplementedError(
+                f"{model_name!r} needs ckpt=: the reference downloads "
+                "this benchmark's rel2id at runtime "
+                "(pretrain.py:163-171); supply an exported .npz with "
+                "an embedded __rel2id__ (tools/export_ckpt.py)"
+            )
+        return Model(f"ckpt:{ckpt}", _CKPT_SCHEMA_NAMES[model_name],
+                     ckpt=ckpt)
     if model_name not in _NAME_MAP:
-        # same terminal behavior as the reference's trailing else
+        # genuinely unknown names hit the reference's trailing else
+        # (pretrain.py:177-178 `raise NotImplementedError`)
         raise NotImplementedError(
             f"unknown or unsupported model name {model_name!r}; "
-            f"supported: {sorted(_NAME_MAP)}"
+            f"supported: {sorted(_NAME_MAP) + sorted(_CKPT_SCHEMA_NAMES)}"
         )
     schema, encoder = _NAME_MAP[model_name]
     return Model(schema, encoder, ckpt=ckpt)

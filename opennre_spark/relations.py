@@ -52,15 +52,41 @@ def nyt10_rel2id() -> dict[str, int]:
     return _load_fixture_json("nyt10_rel2id.json")
 
 
+def ckpt_rel2id(path: str) -> dict[str, int]:
+    """rel2id embedded in an exported S4 checkpoint (`__rel2id__`,
+    written by tools/export_ckpt.py and both engine sinks). This is how
+    benchmark schemas the reference only ships as runtime downloads
+    (e.g. tacred, pretrain.py:164-171 downloads tacred_rel2id.json)
+    reach the engine: the exported checkpoint carries its own label
+    map, which is authoritative for that model's classifier rows."""
+    import json
+
+    import numpy as np
+
+    raw = np.load(path)
+    if "__rel2id__" not in raw:
+        raise ValueError(
+            f"checkpoint {path!r} has no embedded __rel2id__ — "
+            "re-export it with tools/export_ckpt.py (which records the "
+            "benchmark's rel2id.json) or pass a named schema instead"
+        )
+    return {k: int(v) for k, v in json.loads(str(raw["__rel2id__"])).items()}
+
+
 def rel2id_for(schema: str) -> dict[str, int]:
     """Named schema -> rel2id map (S2 scan; one place so pipeline,
-    weights and queries can never disagree on a schema's labels)."""
+    weights and queries can never disagree on a schema's labels).
+    The 'ckpt:<path>' form resolves to the rel2id embedded in that
+    exported checkpoint (ckpt_rel2id) — the route for benchmark
+    schemas that exist only as reference runtime downloads."""
     if schema == "reduced":
         return REL2ID
     if schema == "wiki80":
         return wiki80_rel2id()
     if schema == "nyt10":
         return nyt10_rel2id()
+    if schema.startswith("ckpt:"):
+        return ckpt_rel2id(schema[len("ckpt:"):])
     raise ValueError(f"unknown relation schema {schema!r}")
 
 

@@ -89,8 +89,76 @@ def test_token_input_variant_matches_text():
 
 
 def test_unknown_name_raises():
+    # the reference's trailing else (pretrain.py:177-178) — genuinely
+    # unknown names only; tacred names are NOT in this category
     with pytest.raises(NotImplementedError):
-        api.get_model("tacred_bert_softmax")
+        api.get_model("nonexistent_model_softmax")
+
+
+# TACRED-shaped rel2id (Zhang et al. 2017's public inventory shape:
+# no_relation at 0 + org:/per: predicates). The reference downloads
+# tacred_rel2id.json at runtime (pretrain.py:163-171), so the exported
+# checkpoint's embedded __rel2id__ is the authoritative label map here
+# — these names exercise the shape, the route does not depend on them.
+_TACRED_RELS = ["no_relation"] + [
+    "org:alternate_names", "org:city_of_headquarters",
+    "org:country_of_headquarters", "org:dissolved", "org:founded",
+    "org:founded_by", "org:member_of", "org:members",
+    "org:number_of_employees/members", "org:parents",
+    "org:political/religious_affiliation", "org:shareholders",
+    "org:stateorprovince_of_headquarters", "org:subsidiaries",
+    "org:top_members/employees", "org:website", "per:age",
+    "per:alternate_names", "per:cause_of_death", "per:charges",
+    "per:children", "per:cities_of_residence", "per:city_of_birth",
+    "per:city_of_death", "per:countries_of_residence",
+    "per:country_of_birth", "per:country_of_death", "per:date_of_birth",
+    "per:date_of_death", "per:employee_of", "per:origin",
+    "per:other_family", "per:parents", "per:religion",
+    "per:schools_attended", "per:siblings", "per:spouse",
+    "per:stateorprovince_of_birth", "per:stateorprovince_of_death",
+    "per:stateorprovinces_of_residence", "per:title",
+]
+
+
+def _make_tacred_ckpt(tmp_path, entity: bool) -> tuple[str, dict]:
+    """A tacred-shaped exported BERT checkpoint: engine BERT weights
+    with a 42-row classifier and the tacred rel2id embedded — the
+    shape tools/export_ckpt.py produces from a real
+    tacred_bert(entity)_softmax .pth.tar."""
+    from opennre_spark.functions.bert_kernels import (
+        default_bert_model,
+        save_bert_state_dict_npz,
+    )
+
+    rel2id = {r: i for i, r in enumerate(_TACRED_RELS)}
+    _, W = default_bert_model(entity=entity)
+    W = dict(W)
+    rep = W["fc_w"].shape[1]
+    rng = np.random.default_rng(42)
+    W["fc_w"] = rng.standard_normal((len(rel2id), rep)).astype(np.float32)
+    W["fc_b"] = rng.standard_normal(len(rel2id)).astype(np.float32)
+    path = str(tmp_path / f"tacred_{'entity' if entity else 'cls'}.npz")
+    save_bert_state_dict_npz(W, path, rel2id=rel2id, keep_diag=False)
+    return path, rel2id
+
+
+@pytest.mark.parametrize("name,entity", [
+    ("tacred_bert_softmax", False),
+    ("tacred_bertentity_softmax", True),
+])
+def test_tacred_names_resolve_with_ckpt(tmp_path, name, entity):
+    """The reference supports tacred names (pretrain.py:163-176); here
+    they resolve when ckpt= supplies the label map via the embedded
+    __rel2id__, and raise with a pointed message when it does not."""
+    with pytest.raises(NotImplementedError, match="needs ckpt="):
+        api.get_model(name)
+    path, rel2id = _make_tacred_ckpt(tmp_path, entity)
+    model = api.get_model(name, ckpt=path)
+    assert model.rel2id == rel2id
+    rel, score = model.infer(ITEMS[0])
+    assert rel in rel2id and 0.0 < score <= 1.0
+    # the 42-row classifier came from the checkpoint, not a fixture
+    assert model._weights["fc_w"].shape[0] == len(rel2id)
 
 
 def test_ckpt_route():
