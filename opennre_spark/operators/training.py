@@ -1032,8 +1032,12 @@ def evaluate_multilabel(
     sigmoid scores explode to (sent_id, relation, score, label) cells —
     labels one-hot the instance's single label_id exactly like the
     reference's train/val construction (multi_label_sentence_re.py:
-    117-120). Returns the multilabel eval dict (acc, auc, micro/macro
-    F1, p@k, ...)."""
+    117-120). Rows carrying a non-null `anno_relation_list` (the
+    NYT10m/Wiki20m manual-test shape, data_loader.py:393-397) instead
+    label every listed relation — the reference's per-row
+    `'anno_relation_list' in item` duck-typing, so single-label and
+    annotated rows mix in one table. Returns the multilabel eval dict
+    (acc, auc, micro/macro F1, p@k, ...)."""
     import os
     import tempfile
 
@@ -1059,12 +1063,25 @@ def evaluate_multilabel(
             [(r, i) for r, i in sorted(rel2id.items())],
             "relation string, rel_id int",
         )
+        has_anno = "anno_relation_list" in scored.columns
+        anno_cols = ["anno_relation_list"] if has_anno else []
+        one_hot = (F.col("rel_id") == F.col("label_id")).cast("int")
+        label_col = (
+            F.when(
+                F.col("anno_relation_list").isNotNull(),
+                F.array_contains(
+                    "anno_relation_list", F.col("relation")
+                ).cast("int"),
+            ).otherwise(one_hot)
+            if has_anno
+            else one_hot
+        )
         cells = (
             scored.withColumn(
                 "sent_id", F.xxhash64("h_id", "t_id", *sort_cols)
             )
             .select(
-                "sent_id", "label_id",
+                "sent_id", "label_id", *anno_cols,
                 F.posexplode("scores").alias("rel_id", "score"),
             )
             .join(F.broadcast(rel_dim), "rel_id")
@@ -1072,9 +1089,7 @@ def evaluate_multilabel(
                 "sent_id",
                 "relation",
                 F.col("score").cast("double").alias("score"),
-                (F.col("rel_id") == F.col("label_id")).cast("int").alias(
-                    "label"
-                ),
+                label_col.alias("label"),
             )
         )
         return multilabel_sentence_eval(cells, rel2id, threshold=threshold)

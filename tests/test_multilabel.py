@@ -55,6 +55,81 @@ def test_multilabel_eval_parity(spark, fixture):
         assert got[k] == pytest.approx(want[k], abs=1e-9), k
 
 
+def test_nyt10m_shaped_multilabel_end_to_end(spark):
+    """The engine-native nyt10m-shaped 25-label schema
+    (relations.nyt10m_shaped_rel2id — the NYT10m dataset SHAPE; the
+    real rel2id is a reference runtime download, pretrain.py:36-51)
+    runs the full multilabel dataset shape end to end: instances where
+    some rows carry `anno_relation_list` (data_loader.py:393-397) and
+    the rest fall back to their single label_id, through the
+    production sigmoid scoring + ckpt roundtrip + A10 evaluator
+    (evaluate_multilabel), equal to the reference-math loop oracle on
+    the same production score matrix."""
+    from opennre_spark.functions.weights import default_model
+    from opennre_spark.operators.scoring import score_instances
+    from opennre_spark.operators.training import evaluate_multilabel
+
+    rel2id = relations.rel2id_for("nyt10m_shaped")
+    assert len(rel2id) == 25 and rel2id["NA"] == 0
+    names = sorted(rel2id, key=rel2id.get)
+    rng = random.Random(7)
+    gaz = relations.gazetteer()
+    tpls = [t[3] for t in relations.POSITIVE_TEMPLATES]
+    rows = []
+    for i in range(40):
+        label = rng.randrange(25)
+        # in-vocab, pairwise-distinct texts: identical texts would score
+        # identically and tie the ranked curve, whose tie-break order is
+        # a documented delta vs the reference's stable insertion sort
+        h = gaz[i % len(gaz)][1]
+        t = gaz[(i * 7 + 3) % len(gaz)][1]
+        text = tpls[i % len(tpls)].format(h=h, t=t)
+        hb = text.index(h)
+        tb = text.index(t, hb + len(h))
+        anno = (
+            sorted(rng.sample(names[1:], rng.randrange(1, 3)))
+            if i % 3 == 0
+            else None
+        )
+        rows.append(
+            (text, hb, hb + len(h), tb, tb + len(t),
+             f"e{i}", f"p{i}", label, f"c{i % 5}", i % 11, anno)
+        )
+    inst = spark.createDataFrame(
+        rows,
+        "text string, h_begin int, h_end int, t_begin int, t_end int, "
+        "h_id string, t_id string, label_id int, conv_id string, "
+        "turn_idx int, anno_relation_list array<string>",
+    )
+    _, W = default_model(schema="nyt10m_shaped")
+    got = evaluate_multilabel(inst, dict(W), schema="nyt10m_shaped")
+
+    # loop oracle over the SAME production scores (scoring parity has
+    # its own tests; this one pins the anno-row eval semantics)
+    scored = score_instances(
+        inst, with_scores=True, classifier="sigmoid",
+        schema="nyt10m_shaped",
+    ).collect()
+    data, mat = [], []
+    for r in scored:
+        if r["anno_relation_list"] is not None:
+            anno = list(r["anno_relation_list"])
+            vec = [0] * len(rel2id)
+            for rel in anno:
+                vec[rel2id[rel]] = 1
+            data.append(
+                {"anno_relation_list": anno, "anno_relation_vec": vec}
+            )
+        else:
+            data.append({"relation": names[r["label_id"]]})
+        mat.append([float(s) for s in r["scores"]])
+    want = om.oracle_multilabel_sentence_eval(
+        data, np.array(mat, dtype=np.float64), rel2id
+    )
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
 def test_sigmoid_scoring(spark):
     from opennre_spark.operators.candidates import candidate_pairs
     from opennre_spark.operators.mentions import detect_mentions
