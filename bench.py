@@ -8,14 +8,21 @@ Headline set:
   - a representative slice of the SQL operator battery on the
     driver-provided tables.
 
-Methodology (VERDICT r2 #3): the whole headline sequence is repeated
-$SPARK_GRAFT_BENCH_REPS times (default 3) in INTERLEAVED rounds and each
-query reports its MIN across rounds — the same protocol
-tools/bench_scaling.py uses. A single cold pass conflates JIT/page-cache
+Methodology (VERDICT r2 #3, tightened r5 per VERDICT r4 #3): the whole
+headline sequence is repeated $SPARK_GRAFT_BENCH_REPS times (default 5)
+in INTERLEAVED rounds. A single cold pass conflates JIT/page-cache
 warmup and background-box noise (observed ~30% swings) with real
-regressions; min-of-interleaved-rounds is the stable estimator of the
-achievable time. Round-by-round walls are emitted under `rounds` so a
-noisy box is visible in the artifact instead of silently biasing it.
+regressions, and even min-of-3 proved inflatable when a whole round
+lands on a noisy stretch (the r4 artifact's six sub-2.5s "regressions"
+tracked a 40.5s round wall, not any code change). The artifact
+therefore reports, per query:
+  - `queries`: MIN across rounds (the headline number, driver contract)
+  - `query_medians`: per-query MEDIAN across rounds
+  - `query_spread`: per-query (max - min) / min — the dispersion stat
+    that says how much of any delta-vs-last-round is box noise; a
+    spread of 0.5 means the same code swings 50% run to run.
+Round-by-round walls are emitted under `rounds` so a noisy box is
+visible in the artifact instead of silently biasing it.
 
 Extra keys beyond the driver contract: turns, triples, triples_per_sec
 (the north-rule throughput unit).
@@ -58,7 +65,7 @@ PLAN_QUERIES = (
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     sf = sf_from_dir(sf_dir)
     n_convs = N_CONVS.get(sf, max(100, int(sf * 40000)))
 
@@ -98,7 +105,7 @@ def main():
     extras["turns"] = n_turns
 
     qs = plans.queries()
-    best: dict[str, float] = {}
+    times: dict[str, list[float]] = {}
     rounds: list[float] = []
     n_triples = 0
 
@@ -106,8 +113,7 @@ def main():
         t0 = time.time()
         out = fn()
         dt = time.time() - t0
-        if name not in best or dt < best[name]:
-            best[name] = dt
+        times.setdefault(name, []).append(dt)
         return out, dt
 
     for _ in range(reps):
@@ -134,10 +140,16 @@ def main():
             )
         rounds.append(round(time.time() - round_t0, 3))
 
-    timings = {k: round(v, 3) for k, v in best.items()}
+    import statistics
+
+    timings = {k: round(min(v), 3) for k, v in times.items()}
+    medians = {k: round(statistics.median(v), 3) for k, v in times.items()}
+    spread = {
+        k: round((max(v) - min(v)) / min(v), 3) for k, v in times.items()
+    }
     extras["triples"] = n_triples
-    extras["turns_per_sec"] = round(n_turns / best["kg_sentence"], 1)
-    extras["triples_per_sec"] = round(n_triples / best["kg_sentence"], 1)
+    extras["turns_per_sec"] = round(n_turns / timings["kg_sentence"], 1)
+    extras["triples_per_sec"] = round(n_triples / timings["kg_sentence"], 1)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -146,6 +158,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_medians": medians,
+                "query_spread": spread,
                 "sf": sf,
                 "cpus": cpus,
                 "reps": reps,
