@@ -104,6 +104,20 @@ def main():
     n_turns = transcripts.count()
     extras["turns"] = n_turns
 
+    # BERT headline corpus (VERDICT r4 #5): the transformer kernel is
+    # ~50x the CNN cost per row, so its corpus is 1/40th of the
+    # flagship one — sized so kg_bert is a multi-second headline
+    # measurement (~9 candidate instances per turn; ~2.6k rows/s
+    # kernel aggregate at 32 procs)
+    n_bert = max(20, n_convs // 40)
+    bpath = f"/tmp/spark_graft_bench_bert_{n_bert}.parquet"
+    if not os.path.exists(bpath):
+        transcripts_df(spark, n_bert).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(bpath)
+    bert_transcripts = spark.read.parquet(bpath)
+    extras["bert_turns"] = bert_transcripts.count()
+
     qs = plans.queries()
     times: dict[str, list[float]] = {}
     rounds: list[float] = []
@@ -129,6 +143,12 @@ def main():
         timed(
             "kg_bag_att",
             lambda: extract_triples(transcripts, mode="att", threshold=0.15).count(),
+        )
+        timed(
+            "kg_bert",
+            lambda: extract_triples(
+                bert_transcripts, mode="sentence", encoder="bert"
+            ).count(),
         )
         for name in PLAN_QUERIES:
             timed(

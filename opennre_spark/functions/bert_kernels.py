@@ -36,10 +36,45 @@ def gelu(x: np.ndarray) -> np.ndarray:
     ).astype(np.float32, copy=False)
 
 
+def _gelu_into(x: np.ndarray, out: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """gelu with every intermediate in caller-provided scratch — the
+    expression form allocates ~6 array-sized temporaries per call
+    (200+ MB of traffic at a 256x64 eval batch), which dominated the
+    eval wall (round-5 kernel profile). Operation ORDER mirrors gelu()
+    exactly (IEEE mul/add are commutative, so each in-place step
+    rounds identically) — parity tests see bit-identical results."""
+    c = np.float32(0.7978845608028654)
+    np.multiply(np.float32(0.044715), x, out=t)
+    t *= x
+    t *= x
+    t += x
+    t *= c
+    np.tanh(t, out=t)
+    t += np.float32(1.0)
+    np.multiply(np.float32(0.5), x, out=out)
+    out *= t
+    return out
+
+
 def layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray, eps: float = 1e-12):
     mu = x.mean(axis=-1, keepdims=True)
     var = x.var(axis=-1, keepdims=True)
     return ((x - mu) / np.sqrt(var + eps) * g + b).astype(np.float32, copy=False)
+
+
+def _layer_norm_into(
+    x: np.ndarray, g: np.ndarray, b: np.ndarray, out: np.ndarray,
+    eps: float = 1e-12,
+) -> np.ndarray:
+    """layer_norm writing into scratch, same op sequence as
+    layer_norm() (subtract, divide, scale, shift)."""
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    np.subtract(x, mu, out=out)
+    out /= np.sqrt(var + eps)
+    out *= g
+    out += b
+    return out
 
 
 def make_bert_weights(
@@ -109,6 +144,21 @@ def _fused_qkv(W: dict, i: int):
     return qkv_w, qkv_b
 
 
+# eval-forward scratch: module-level reused buffers (one Python worker
+# per process, so no sharing hazard — same pattern as kernels._conv_slabs).
+# Fresh np allocations at these sizes page-fault + kernel-zero every
+# call; reuse removed ~2/3 of the eval wall (round-5 kernel profile).
+_FWD_SCRATCH: dict = {}
+
+
+def _buf(name: str, shape: tuple) -> np.ndarray:
+    a = _FWD_SCRATCH.get(name)
+    if a is None or a.shape != shape:
+        a = np.empty(shape, np.float32)
+        _FWD_SCRATCH[name] = a
+    return a
+
+
 def bert_forward(token: np.ndarray, att_mask: np.ndarray, W: dict):
     """(B, L) ids + mask -> (hidden (B, L, H) float32, pooled (B, H)).
 
@@ -116,8 +166,13 @@ def bert_forward(token: np.ndarray, att_mask: np.ndarray, W: dict):
     is flattened to ONE (B*L, H) GEMM — numpy's 3-D @ 2-D broadcasts
     into B separate small GEMMs, which wastes BLAS efficiency at L=64 —
     and the Q/K/V projections fuse into a single (H, 3H) GEMM (weights
-    stacked once per process). Same math; results move within the
-    2e-5 parity tolerance (BLAS blocking varies with M, see tests)."""
+    stacked once per process). Round 5 adds the conv-slab treatment
+    (VERDICT r4 #5): every intermediate lives in module-level reused
+    scratch (np.matmul out= + in-place elementwise with gelu/softmax/
+    layer-norm op order preserved exactly), and Q/K/V/ctx move through
+    preallocated contiguous buffers instead of fresh transpose copies.
+    Same math; results move within the 2e-5 parity tolerance (BLAS
+    blocking varies with operand layout, see tests)."""
     B, L = token.shape
     H = int(W["hidden"])
     heads = int(W["heads"])
@@ -129,29 +184,66 @@ def bert_forward(token: np.ndarray, att_mask: np.ndarray, W: dict):
         :, None, None, :
     ]  # (B, 1, 1, L)
     scale = np.float32(1.0 / np.sqrt(dh))
+    qkv = _buf("qkv", (B * L, 3 * H))
+    q_c = _buf("q", (B, heads, L, dh))
+    k_t = _buf("kt", (B, heads, dh, L))
+    v_c = _buf("v", (B, heads, L, dh))
+    scores = _buf("scores", (B, heads, L, L))
+    ctx = _buf("ctx", (B, heads, L, dh))
+    ctx2 = _buf("ctx2", (B, L, heads, dh))
+    attn_out = _buf("attn_out", (B * L, H))
+    ln1 = _buf("ln1", (B, L, H))
+    ffn_h = None  # sized per layer (intermediate dim from the weights)
+    ffn_o = _buf("ffn_o", (B * L, H))
+    ln2 = _buf("ln2", (B, L, H))
     for i in range(int(W["layers"])):
         x2 = x.reshape(B * L, H)
         qkv_w, qkv_b = _fused_qkv(W, i)
-        qkv = x2 @ qkv_w + qkv_b  # (B*L, 3H), one GEMM
-        q = qkv[:, :H].reshape(B, L, heads, dh).transpose(0, 2, 1, 3)
-        k = qkv[:, H : 2 * H].reshape(B, L, heads, dh).transpose(0, 2, 1, 3)
-        v = qkv[:, 2 * H :].reshape(B, L, heads, dh).transpose(0, 2, 1, 3)
-        scores = (q @ k.transpose(0, 1, 3, 2)) * scale + add_mask
-        att = softmax(np.asarray(scores, dtype=np.float32), axis=-1)
-        ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B * L, H)
-        attn_out = ctx @ W[f"l{i}_o_w"] + W[f"l{i}_o_b"]
-        x = layer_norm(
-            np.asarray(x2 + attn_out, dtype=np.float32).reshape(B, L, H),
-            W[f"l{i}_att_ln_g"], W[f"l{i}_att_ln_b"],
+        np.matmul(x2, qkv_w, out=qkv)  # one GEMM
+        qkv += qkv_b
+        # contiguous per-head layouts via strided copy into scratch
+        # (matmul on transposed views re-copies internally every time)
+        np.copyto(q_c, qkv[:, :H].reshape(B, L, heads, dh).transpose(0, 2, 1, 3))
+        np.copyto(
+            k_t, qkv[:, H : 2 * H].reshape(B, L, heads, dh).transpose(0, 2, 3, 1)
+        )
+        np.copyto(v_c, qkv[:, 2 * H :].reshape(B, L, heads, dh).transpose(0, 2, 1, 3))
+        np.matmul(q_c, k_t, out=scores)
+        scores *= scale
+        scores += add_mask
+        # softmax, same op order as kernels.softmax, in place
+        scores -= np.max(scores, axis=-1, keepdims=True)
+        np.exp(scores, out=scores)
+        scores /= np.sum(scores, axis=-1, keepdims=True)
+        np.matmul(scores, v_c, out=ctx)
+        np.copyto(ctx2, ctx.transpose(0, 2, 1, 3))
+        np.matmul(ctx2.reshape(B * L, H), W[f"l{i}_o_w"], out=attn_out)
+        attn_out += W[f"l{i}_o_b"]
+        attn_out += x2
+        x = _layer_norm_into(
+            attn_out.reshape(B, L, H),
+            W[f"l{i}_att_ln_g"], W[f"l{i}_att_ln_b"], ln1,
         )
         x2 = x.reshape(B * L, H)
-        ffn = gelu(x2 @ W[f"l{i}_i_w"] + W[f"l{i}_i_b"]) @ W[f"l{i}_f_w"] + W[f"l{i}_f_b"]
-        x = layer_norm(
-            np.asarray(x2 + ffn, dtype=np.float32).reshape(B, L, H),
-            W[f"l{i}_ffn_ln_g"], W[f"l{i}_ffn_ln_b"],
+        i_w = W[f"l{i}_i_w"]
+        if ffn_h is None or ffn_h.shape[1] != i_w.shape[1]:
+            ffn_h = _buf("ffn_h", (B * L, i_w.shape[1]))
+            ffn_t = _buf("ffn_t", (B * L, i_w.shape[1]))
+        np.matmul(x2, i_w, out=ffn_h)
+        ffn_h += W[f"l{i}_i_b"]
+        _gelu_into(ffn_h, ffn_h, ffn_t)
+        np.matmul(ffn_h, W[f"l{i}_f_w"], out=ffn_o)
+        ffn_o += W[f"l{i}_f_b"]
+        ffn_o += x2
+        x = _layer_norm_into(
+            ffn_o.reshape(B, L, H),
+            W[f"l{i}_ffn_ln_g"], W[f"l{i}_ffn_ln_b"], ln2,
         )
+        ln1, ln2 = ln2, ln1  # next layer writes the other buffer
     pooled = np.tanh(x[:, 0, :] @ W["pool_w"] + W["pool_b"]).astype(np.float32)
-    return x, pooled
+    # hidden escapes the scratch pool (callers gather entity positions
+    # from it after the next call could overwrite) — hand back a copy
+    return x.copy(), pooled
 
 
 def bert_cls_rep(token, att_mask, pos1, pos2, W) -> np.ndarray:
