@@ -820,6 +820,19 @@ def _kg_train_then_extract(spark, sf_dir):
             "sentence training loss did not decrease: "
             f"{sent_hist[0]['avg_loss']:.4f} -> {sent_hist[-1]['avg_loss']:.4f}"
         )
+    # third training framework under the driver (r5): a short
+    # MultiLabelSentenceRE.train_model leg — SigmoidNN + NA-dropped
+    # flattened BCE (multi_label_sentence_re.py:97-136) — with its own
+    # loss-decrease gate, so all three reference trainers run here
+    _, ml_hist = train_sentence_model(
+        train_inst, epochs=2, batch_size=1024, lr=0.1, weight_decay=1e-5,
+        seed=42, multilabel=True,
+    )
+    if not ml_hist[-1]["avg_loss"] < ml_hist[0]["avg_loss"]:
+        raise RuntimeError(
+            "multilabel BCE training loss did not decrease: "
+            f"{ml_hist[0]['avg_loss']:.4f} -> {ml_hist[-1]['avg_loss']:.4f}"
+        )
     return spark.createDataFrame(rows, out.schema)
 
 
