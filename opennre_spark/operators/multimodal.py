@@ -42,6 +42,25 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_DIM = 32
 
 
+def _payload_bytes(seed: int, mid: int) -> bytes:
+    """Deterministic fake payload: an md5 chain over (seed, media_id) —
+    chosen over a PCG stream (round 5) precisely so a SQL oracle can
+    recompute the bytes: chunk j is md5(f"{seed}:{mid}:{j}"), hex
+    chunks concatenate and truncate to the target length. Any
+    deterministic filler works for the decode stub; this one is
+    engine-neutral."""
+    need_hex = (512 + mid % 512) * 2
+    parts: list[str] = []
+    j = 0
+    total = 0
+    while total < need_hex:
+        h = hashlib.md5(f"{seed}:{mid}:{j}".encode()).hexdigest()
+        parts.append(h)
+        total += len(h)
+        j += 1
+    return bytes.fromhex("".join(parts)[:need_hex])
+
+
 def synthetic_media(spark: SparkSession, n: int, seed: int = 5) -> DataFrame:
     """Deterministic fake media table: payload bytes are a pure function
     of (media_id, seed) — generated distributed, never on the driver."""
@@ -53,8 +72,7 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 5) -> DataFrame:
             for mid in pdf["id"]:
                 mid = int(mid)
                 kind = kinds[mid % 3]
-                rng = np.random.default_rng((seed << 32) ^ mid)
-                payload = rng.integers(0, 256, 512 + mid % 512, dtype=np.uint8).tobytes()
+                payload = _payload_bytes(seed, mid)
                 meta = {
                     "width": 64 + (mid % 4) * 32 if kind != "audio" else None,
                     "height": 64 + (mid % 3) * 32 if kind != "audio" else None,
@@ -71,13 +89,22 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 5) -> DataFrame:
 def decode_stub(payload: bytes) -> np.ndarray:
     """STUB for the real decoder (PIL.Image.open / soundfile / ffmpeg).
 
-    Deterministic fake: a FEATURE_DIM float32 vector derived from the
-    sha256 of the payload. A real deployment swaps only this function;
-    the Spark plumbing (batching, schema, partitioning) is unchanged.
-    """
-    h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
-    return (raw % 1000).astype(np.float32) / 1000.0
+    Deterministic fake: a FEATURE_DIM float32 vector from an md5 chain
+    over the payload's hex rendering — word k*4+w is the w-th big-endian
+    uint32 of md5(f"{payload_hex}:{k}"), scaled into [0, 1) via
+    (word % 1000) / 1000 (exactly 3 decimals, so 6-decimal formatting
+    is engine-stable). Content-hashed (identical payloads -> identical
+    features) and SQL-recomputable, which is what lets the
+    media_feature_extract driver query carry a full DuckDB oracle. A
+    real deployment swaps only this function; the Spark plumbing
+    (batching, schema, partitioning) is unchanged."""
+    hexp = payload.hex()
+    vals = []
+    for k in range(FEATURE_DIM // 4):
+        h = hashlib.md5(f"{hexp}:{k}".encode()).hexdigest()
+        for w in range(4):
+            vals.append((int(h[w * 8 : (w + 1) * 8], 16) % 1000) / 1000.0)
+    return np.array(vals, dtype=np.float32)
 
 
 FEATURES_SCHEMA = T.StructType([

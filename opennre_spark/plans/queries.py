@@ -1491,6 +1491,47 @@ _EXTRA_ORACLES["a10_multilabel_eval"] = f"""
     FROM accv, aucv, best, micro2, macro, pk
     """
 
+# media feature-extraction oracle (r5): the payload and the decode
+# stub are BOTH md5 chains by construction (multimodal._payload_bytes /
+# decode_stub), so DuckDB recomputes the payload hex, every feature
+# word, the 6-decimal digest string and n_bytes bit-for-bit — the
+# multimodal decode plumbing's full output is oracle-checked, with the
+# stub the only swap point for a real decoder.
+_EXTRA_ORACLES["media_feature_extract"] = """
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CAST(512 + i % 512 AS INTEGER) AS need,
+             CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+      FROM range(0, 120) t(i)
+    ),
+    chunks AS (
+      SELECT media_id, need, kind, g.j,
+             md5(concat('5:', media_id, ':', g.j)) AS c
+      FROM m CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+      WHERE g.j * 32 < need * 2
+    ),
+    ph AS (
+      SELECT media_id, need, kind,
+             substring(string_agg(c, '' ORDER BY j), 1, need * 2) AS hexp
+      FROM chunks GROUP BY media_id, need, kind
+    ),
+    fw AS (
+      SELECT media_id, need, kind, g.k,
+             md5(concat(hexp, ':', g.k)) AS h
+      FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) g
+    ),
+    vals AS (
+      SELECT media_id, need, kind, k, g.w,
+             CAST(CAST(concat('0x', substring(h, g.w * 8 + 1, 8)) AS BIGINT)
+                  % 1000 AS DOUBLE) / 1000.0 AS v
+      FROM fw CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS w) g
+    )
+    SELECT media_id, kind, need AS n_bytes,
+           md5(string_agg(printf('%.6f', v), ',' ORDER BY k, w)) AS feature_digest
+    FROM vals GROUP BY media_id, kind, need
+    """
+
 # streaming sessions oracle: relational gap-session assignment — a
 # session splits when the gap to the previous event is >= 30 min
 # (Spark's [ts, ts+gap) windows merge only on strict overlap);
@@ -1524,7 +1565,7 @@ _EXTRA_ORACLES["streaming_sessions"] = """
 def queries() -> dict:
     """Exactly 50 entries, ORACLE-BEARING FIRST: the driver's
     correctness gate evaluates the first 50 queries, so every entry
-    with a DuckDB oracle (40) precedes every rows-only demo (10) and
+    with a DuckDB oracle (41) precedes every rows-only demo (9) and
     nothing this function returns goes unevaluated (VERDICT r3 #1 —
     the r3 battery had 55 entries and the last 5, two of them
     previously oracle-green, silently fell outside the window).
@@ -1538,8 +1579,11 @@ def queries() -> dict:
     (both pytest-covered and subsumed by sibling entries — the A2
     resize path by test_schema_variants, the wiki80 schema by
     kg_triples_sentence + the wiki80 weights tests) make room for the
-    oracle-backed a10_multilabel_eval and streaming_sessions."""
-    # --- 40 oracle-checked entries first ---
+    oracle-backed a10_multilabel_eval and streaming_sessions, and
+    media_feature_extract was UPGRADED rows-only -> oracled (the fake
+    payload/decode stubs became md5 chains a SQL oracle can recompute
+    bit-for-bit)."""
+    # --- 41 oracle-checked entries first ---
     out = {name: _make_sql_query(name) for name in _SPECS}
     out["dedup_minhash_lsh"] = _q_minhash_dedup
     out["dedup_minhash_pairs"] = _q_minhash_pairs
@@ -1557,7 +1601,10 @@ def queries() -> dict:
     out["dedup_simhash_pairs"] = _q_simhash_pairs
     out["a10_multilabel_eval"] = _q_a10_multilabel
     out["streaming_sessions"] = _q_streaming_sessions
-    # --- 10 rows-only entries (not ANSI-SQL-expressible) last ---
+    # r5: the payload generator + decode stub became md5 chains, so the
+    # full multimodal decode plumbing is now DuckDB-recomputable
+    out["media_feature_extract"] = _q_media_features
+    # --- 9 rows-only entries (not ANSI-SQL-expressible) last ---
     out["kg_triples_sentence"] = _kg_query("sentence")
     out["kg_triples_bag_att"] = _kg_query("att")
     out["kg_triples_bag_one"] = _kg_query("one")
@@ -1569,7 +1616,6 @@ def queries() -> dict:
     out["kg_triples_canonical"] = _kg_canonical
     out["ann_ivf_topk"] = _q_ann_ivf
     out["kg_train_then_extract"] = _kg_train_then_extract
-    out["media_feature_extract"] = _q_media_features
     if len(out) != 50:
         raise RuntimeError(
             f"query battery has {len(out)} entries; the driver "

@@ -16,11 +16,12 @@ def _load():
 def test_battery_is_exactly_fifty():
     q, o = _load()
     assert len(q) == 50
-    # r5 shape: 40 oracle-bearing + 10 rows-only (VERDICT r4 #1 swap:
+    # r5 shape: 41 oracle-bearing + 9 rows-only (VERDICT r4 #1 swap:
     # a10_multilabel_eval + streaming_sessions in, the pytest-covered
-    # kg_triples_bag_fixedsize + kg_triples_wiki80 out)
-    assert sum(1 for n in q if n in o) == 40
-    assert sum(1 for n in q if n not in o) == 10
+    # kg_triples_bag_fixedsize + kg_triples_wiki80 out;
+    # media_feature_extract upgraded rows-only -> oracled)
+    assert sum(1 for n in q if n in o) == 41
+    assert sum(1 for n in q if n not in o) == 9
 
 
 def test_oracle_bearing_queries_come_first():
