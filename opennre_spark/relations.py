@@ -86,6 +86,22 @@ def nyt10m_shaped_rel2id() -> dict[str, int]:
     return _load_fixture_json("nyt10m_shaped_rel2id.json")
 
 
+def wiki20m_shaped_rel2id() -> dict[str, int]:
+    """Engine-native Wiki20m-shaped multilabel schema: NA=0 + the 80
+    Wiki80 property names at 1..80. The wiki20m benchmark is wiki80's
+    label set plus a negative class, with `anno_relation_list` rows in
+    its manually-annotated test set; its rel2id.json is a reference
+    runtime download (pretrain.py:53-65,
+    benchmark/download_wiki20m.sh), so the SHAPE derives from the
+    checked-in wiki80 fixture rather than a second file — an exported
+    real checkpoint's embedded rel2id (ckpt: route) stays
+    authoritative for real weights."""
+    out = {"NA": 0}
+    for name, i in sorted(wiki80_rel2id().items(), key=lambda kv: kv[1]):
+        out[name] = i + 1
+    return out
+
+
 def rel2id_for(schema: str) -> dict[str, int]:
     """Named schema -> rel2id map (S2 scan; one place so pipeline,
     weights and queries can never disagree on a schema's labels).
@@ -100,6 +116,8 @@ def rel2id_for(schema: str) -> dict[str, int]:
         return nyt10_rel2id()
     if schema == "nyt10m_shaped":
         return nyt10m_shaped_rel2id()
+    if schema == "wiki20m_shaped":
+        return wiki20m_shaped_rel2id()
     if schema.startswith("ckpt:"):
         return ckpt_rel2id(schema[len("ckpt:"):])
     raise ValueError(f"unknown relation schema {schema!r}")

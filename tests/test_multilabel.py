@@ -55,29 +55,33 @@ def test_multilabel_eval_parity(spark, fixture):
         assert got[k] == pytest.approx(want[k], abs=1e-9), k
 
 
-def test_nyt10m_shaped_multilabel_end_to_end(spark):
-    """The engine-native nyt10m-shaped 25-label schema
-    (relations.nyt10m_shaped_rel2id — the NYT10m dataset SHAPE; the
-    real rel2id is a reference runtime download, pretrain.py:36-51)
-    runs the full multilabel dataset shape end to end: instances where
-    some rows carry `anno_relation_list` (data_loader.py:393-397) and
-    the rest fall back to their single label_id, through the
-    production sigmoid scoring + ckpt roundtrip + A10 evaluator
-    (evaluate_multilabel), equal to the reference-math loop oracle on
-    the same production score matrix."""
+@pytest.mark.parametrize("schema,n_labels", [
+    ("nyt10m_shaped", 25),
+    ("wiki20m_shaped", 81),
+])
+def test_shaped_multilabel_end_to_end(spark, schema, n_labels):
+    """The engine-native multilabel benchmark SHAPES — nyt10m-shaped
+    (25 labels) and wiki20m-shaped (NA + the 80 wiki80 properties);
+    the real rel2id files are reference runtime downloads
+    (pretrain.py:36-65) — run the full multilabel dataset shape end to
+    end: instances where some rows carry `anno_relation_list`
+    (data_loader.py:393-397) and the rest fall back to their single
+    label_id, through the production sigmoid scoring + ckpt roundtrip
+    + A10 evaluator (evaluate_multilabel), equal to the reference-math
+    loop oracle on the same production score matrix."""
     from opennre_spark.functions.weights import default_model
     from opennre_spark.operators.scoring import score_instances
     from opennre_spark.operators.training import evaluate_multilabel
 
-    rel2id = relations.rel2id_for("nyt10m_shaped")
-    assert len(rel2id) == 25 and rel2id["NA"] == 0
+    rel2id = relations.rel2id_for(schema)
+    assert len(rel2id) == n_labels and rel2id["NA"] == 0
     names = sorted(rel2id, key=rel2id.get)
     rng = random.Random(7)
     gaz = relations.gazetteer()
     tpls = [t[3] for t in relations.POSITIVE_TEMPLATES]
     rows = []
     for i in range(40):
-        label = rng.randrange(25)
+        label = rng.randrange(n_labels)
         # in-vocab, pairwise-distinct texts: identical texts would score
         # identically and tie the ranked curve, whose tie-break order is
         # a documented delta vs the reference's stable insertion sort
@@ -101,14 +105,14 @@ def test_nyt10m_shaped_multilabel_end_to_end(spark):
         "h_id string, t_id string, label_id int, conv_id string, "
         "turn_idx int, anno_relation_list array<string>",
     )
-    _, W = default_model(schema="nyt10m_shaped")
-    got = evaluate_multilabel(inst, dict(W), schema="nyt10m_shaped")
+    _, W = default_model(schema=schema)
+    got = evaluate_multilabel(inst, dict(W), schema=schema)
 
     # loop oracle over the SAME production scores (scoring parity has
     # its own tests; this one pins the anno-row eval semantics)
     scored = score_instances(
         inst, with_scores=True, classifier="sigmoid",
-        schema="nyt10m_shaped",
+        schema=schema,
     ).collect()
     data, mat = [], []
     for r in scored:
