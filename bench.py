@@ -93,12 +93,15 @@ def main():
 
     # materialize the input once (production input is a table on storage,
     # not a generator; also keeps the self-join from re-generating)
+    # always (re)write the cached corpora: an exists-guard would trust
+    # a partially-written dir from a killed run, or stale content after
+    # a generator change — mode("overwrite") makes the rewrite atomic
+    # per path and the generation cost is reported, not hidden
     path = f"/tmp/spark_graft_bench_{n_convs}.parquet"
     t0 = time.time()
-    if not os.path.exists(path):
-        transcripts_df(spark, n_convs).repartition(64).write.mode(
-            "overwrite"
-        ).parquet(path)
+    transcripts_df(spark, n_convs).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(path)
     extras["gen_turns_sec"] = round(time.time() - t0, 3)
     transcripts = spark.read.parquet(path)
     n_turns = transcripts.count()
@@ -111,10 +114,9 @@ def main():
     # kernel aggregate at 32 procs)
     n_bert = max(20, n_convs // 40)
     bpath = f"/tmp/spark_graft_bench_bert_{n_bert}.parquet"
-    if not os.path.exists(bpath):
-        transcripts_df(spark, n_bert).repartition(32).write.mode(
-            "overwrite"
-        ).parquet(bpath)
+    transcripts_df(spark, n_bert).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(bpath)
     bert_transcripts = spark.read.parquet(bpath)
     extras["bert_turns"] = bert_transcripts.count()
 

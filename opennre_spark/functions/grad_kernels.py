@@ -135,11 +135,13 @@ def flatten_grads(grads: dict, weights: dict | None = None) -> np.ndarray:
         keys += ["fc_w", "fc_b"]
         if "att_diag" in grads:
             keys.append("att_diag")
-        if len(keys) != len(grads):
-            missing = sorted(set(grads) - set(keys))
+        if set(keys) != set(grads):
+            extra = sorted(set(grads) - set(keys))
+            missing = sorted(set(keys) - set(grads))
             raise ValueError(
-                f"grads dict has keys outside the canonical layout: "
-                f"{missing[:5]} — pass the weights dict to fix the order"
+                "grads dict does not match the canonical layout "
+                f"(unknown keys: {extra[:5]}, absent canonical keys: "
+                f"{missing[:5]}) — pass the weights dict to fix the order"
             )
     return np.concatenate([grads[k].ravel() for k in keys])
 

@@ -851,6 +851,15 @@ def train_bag_attention(
     # reference schedule length: len(dataset) // batch_size * max_epoch
     # (sentence_re.py:86 — floor, NOT epochs * n_batches; ADVICE r4)
     total_steps = (n_bags // batch_size) * epochs
+    if warmup_step > 0 and total_steps == 0:
+        # the reference's formula degenerates identically, but there it
+        # trains silently at lr-multiplier 0 forever; fail fast instead
+        raise ValueError(
+            f"warmup schedule has 0 total steps ({n_bags} bags // "
+            f"batch_size {batch_size} * {epochs} epochs) — every "
+            "post-warmup step would run at lr 0; shrink batch_size or "
+            "disable warmup"
+        )
     # reference global_step: completed optimizer steps only
     # (sentence_re.py:97,124-128); resume rebuilds it from history
     global_step = sum(int(h.get("n_steps", 0)) for h in history)
@@ -1220,6 +1229,13 @@ def train_sentence_model(
     # reference schedule length (floor) + global_step position — see
     # train_bag_attention's warmup_step note
     total_steps = (n_inst // batch_size) * epochs
+    if warmup_step > 0 and total_steps == 0:
+        raise ValueError(
+            f"warmup schedule has 0 total steps ({n_inst} instances // "
+            f"batch_size {batch_size} * {epochs} epochs) — every "
+            "post-warmup step would run at lr 0; shrink batch_size or "
+            "disable warmup"
+        )
     global_step = sum(int(h.get("n_steps", 0)) for h in history)
     sc = spark.sparkContext
     for epoch in range(start_epoch, epochs):

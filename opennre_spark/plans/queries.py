@@ -667,9 +667,7 @@ def _q_streaming_sessions(spark, sf_dir):
 
     src = f"{sf_dir}/events.parquet"
     d = tempfile.mkdtemp(prefix="spark_graft_stream_events_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    os.symlink(src, os.path.join(d, "events.parquet"))
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -703,6 +701,12 @@ def _q_streaming_sessions(spark, sf_dir):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+        # the bounded run is complete (memory sink holds the rows);
+        # drop the per-invocation symlink dir rather than leaking one
+        # per driver/bench repetition
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table("streaming_sessions_result")
 
 

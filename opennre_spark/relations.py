@@ -63,14 +63,17 @@ def ckpt_rel2id(path: str) -> dict[str, int]:
 
     import numpy as np
 
-    raw = np.load(path)
-    if "__rel2id__" not in raw:
-        raise ValueError(
-            f"checkpoint {path!r} has no embedded __rel2id__ — "
-            "re-export it with tools/export_ckpt.py (which records the "
-            "benchmark's rel2id.json) or pass a named schema instead"
-        )
-    return {k: int(v) for k, v in json.loads(str(raw["__rel2id__"])).items()}
+    with np.load(path) as raw:
+        if "__rel2id__" not in raw:
+            raise ValueError(
+                f"checkpoint {path!r} has no embedded __rel2id__ — "
+                "re-export it with tools/export_ckpt.py (which records "
+                "the benchmark's rel2id.json) or pass a named schema "
+                "instead"
+            )
+        return {
+            k: int(v) for k, v in json.loads(str(raw["__rel2id__"])).items()
+        }
 
 
 def nyt10m_shaped_rel2id() -> dict[str, int]:

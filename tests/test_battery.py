@@ -52,28 +52,44 @@ def test_no_orphan_oracles_and_all_callables():
 
 def test_pyfiles_zip_contains_every_module():
     """The committed spark-submit artifact (dist/opennre_spark.zip)
-    must contain every package module and data fixture — a stale zip
-    ships executors that silently lack new modules (this caught the
-    round-3/4 additions missing from the round-2 build)."""
+    must contain every package module and data fixture WITH the same
+    bytes as the working tree — a stale zip ships executors that
+    silently lack new modules (this caught the round-3/4 additions
+    missing from the round-2 build) or, worse, run OUTDATED copies of
+    present ones (a name-only check let exactly that land in r5:
+    relations.py was in the zip but predated the wiki20m_shaped
+    schema)."""
     import os
     import zipfile
 
     repo = os.path.join(os.path.dirname(__file__), "..")
     zpath = os.path.join(repo, "dist", "opennre_spark.zip")
-    names = set(zipfile.ZipFile(zpath).namelist())
+    zf = zipfile.ZipFile(zpath)
+    names = set(zf.namelist())
+
+    def check(rel: str, abspath: str):
+        assert rel in names, (
+            f"{rel} missing from dist/opennre_spark.zip — "
+            "run python tools/make_pyfiles.py"
+        )
+        with open(abspath, "rb") as f:
+            assert zf.read(rel) == f.read(), (
+                f"{rel} in dist/opennre_spark.zip is STALE (bytes "
+                "differ from the working tree) — run "
+                "python tools/make_pyfiles.py"
+            )
+
     for root, _, files in os.walk(os.path.join(repo, "opennre_spark")):
         if "__pycache__" in root:
             continue
         for f in files:
             if f.endswith(".py"):
-                rel = os.path.relpath(os.path.join(root, f), repo)
-                assert rel in names, (
-                    f"{rel} missing from dist/opennre_spark.zip — "
-                    "run python tools/make_pyfiles.py"
-                )
-    for f in os.listdir(os.path.join(repo, "fixtures")):
+                ap = os.path.join(root, f)
+                check(os.path.relpath(ap, repo), ap)
+    fx = os.path.join(repo, "fixtures")
+    for f in os.listdir(fx):
         if f.endswith((".json", ".npz")):
-            assert f"fixtures/{f}" in names, f"fixtures/{f} not in zip"
+            check(f"fixtures/{f}", os.path.join(fx, f))
 
 
 def test_pyfiles_zip_imports_standalone():
