@@ -131,6 +131,100 @@ def test_conversation_sessions(spark, tmp_path):
         ), r.conv_id
 
 
+def test_bounded_complete_sessions_equal_batch_and_gap_rule(spark, tmp_path):
+    """The driver's streaming_sessions battery query runs the session
+    operator bounded in COMPLETE mode. Two contracts, hermetically:
+    (1) that run emits EXACTLY the batch session_window set — append
+    mode holds back sessions inside the final watermark, complete does
+    not, which is why the bounded replay uses it; (2) the set equals
+    the relational gap rule the DuckDB oracle implements (new session
+    iff the gap to the previous event is >= the 30-minute timeout —
+    Spark's [ts, ts+gap) windows merge only on strict overlap)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from opennre_spark.streaming.ingest import (
+        conversation_sessions,
+        read_transcript_stream,
+    )
+
+    inp = str(tmp_path / "in_sess_complete")
+    transcripts_df(spark, 12).coalesce(1).write.mode("append").parquet(inp)
+    stream = read_transcript_stream(spark, inp)
+    q = (
+        conversation_sessions(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.start_us, r.end_us, r.n_turns)
+        for r in spark.table("sessions_complete")
+        .select(
+            "conv_id",
+            F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+                "start_us"
+            ),
+            F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+                "end_us"
+            ),
+            "n_turns",
+        )
+        .collect()
+    }
+
+    batch = spark.read.parquet(inp)
+    want_batch = {
+        (r.conv_id, r.start_us, r.end_us, r.n_turns)
+        for r in batch.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+            .alias("w"),
+            "conv_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_turns",
+        )
+        .collect()
+    }
+    assert got == want_batch and got
+
+    # the relational gap rule (the DuckDB oracle's logic, in Spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gap_us = 30 * 60 * 1_000_000
+    sess = (
+        batch.withColumn("us", us)
+        .withColumn(
+            "new_sess",
+            (F.col("us") - F.lag("us").over(w) >= F.lit(gap_us)).cast("int"),
+        )
+        .withColumn(
+            "sess_no",
+            F.sum(F.coalesce("new_sess", F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("conv_id", "sess_no")
+        .agg(
+            F.min("us").alias("start_us"),
+            (F.max("us") + F.lit(gap_us)).alias("end_us"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    want_gap = {
+        (r.conv_id, r.start_us, r.end_us, r.n_turns)
+        for r in sess.collect()
+    }
+    assert got == want_gap
+
+
 def test_stateful_conversation_tracker(spark, tmp_path):
     """applyInPandasWithState: per-conv state accumulates ACROSS
     micro-batches (two files, overlapping conversations)."""
