@@ -55,6 +55,41 @@ def test_multilabel_eval_parity(spark, fixture):
         assert got[k] == pytest.approx(want[k], abs=1e-9), k
 
 
+def _shaped_instances(spark, schema: str, n: int = 40):
+    """Instance rows on a named multilabel schema: in-vocab,
+    pairwise-distinct texts; every third row carries a 1-2 relation
+    `anno_relation_list` (the NYT10m manual-test shape), the rest fall
+    back to their single label_id."""
+    rel2id = relations.rel2id_for(schema)
+    names = sorted(rel2id, key=rel2id.get)
+    rng = random.Random(7)
+    gaz = relations.gazetteer()
+    tpls = [t[3] for t in relations.POSITIVE_TEMPLATES]
+    rows = []
+    for i in range(n):
+        label = rng.randrange(len(rel2id))
+        h = gaz[i % len(gaz)][1]
+        t = gaz[(i * 7 + 3) % len(gaz)][1]
+        text = tpls[i % len(tpls)].format(h=h, t=t)
+        hb = text.index(h)
+        tb = text.index(t, hb + len(h))
+        anno = (
+            sorted(rng.sample(names[1:], rng.randrange(1, 3)))
+            if i % 3 == 0
+            else None
+        )
+        rows.append(
+            (text, hb, hb + len(h), tb, tb + len(t),
+             f"e{i}", f"p{i}", label, f"c{i % 5}", i % 11, anno)
+        )
+    return spark.createDataFrame(
+        rows,
+        "text string, h_begin int, h_end int, t_begin int, t_end int, "
+        "h_id string, t_id string, label_id int, conv_id string, "
+        "turn_idx int, anno_relation_list array<string>",
+    )
+
+
 @pytest.mark.parametrize("schema,n_labels", [
     ("nyt10m_shaped", 25),
     ("wiki20m_shaped", 81),
@@ -76,35 +111,7 @@ def test_shaped_multilabel_end_to_end(spark, schema, n_labels):
     rel2id = relations.rel2id_for(schema)
     assert len(rel2id) == n_labels and rel2id["NA"] == 0
     names = sorted(rel2id, key=rel2id.get)
-    rng = random.Random(7)
-    gaz = relations.gazetteer()
-    tpls = [t[3] for t in relations.POSITIVE_TEMPLATES]
-    rows = []
-    for i in range(40):
-        label = rng.randrange(n_labels)
-        # in-vocab, pairwise-distinct texts: identical texts would score
-        # identically and tie the ranked curve, whose tie-break order is
-        # a documented delta vs the reference's stable insertion sort
-        h = gaz[i % len(gaz)][1]
-        t = gaz[(i * 7 + 3) % len(gaz)][1]
-        text = tpls[i % len(tpls)].format(h=h, t=t)
-        hb = text.index(h)
-        tb = text.index(t, hb + len(h))
-        anno = (
-            sorted(rng.sample(names[1:], rng.randrange(1, 3)))
-            if i % 3 == 0
-            else None
-        )
-        rows.append(
-            (text, hb, hb + len(h), tb, tb + len(t),
-             f"e{i}", f"p{i}", label, f"c{i % 5}", i % 11, anno)
-        )
-    inst = spark.createDataFrame(
-        rows,
-        "text string, h_begin int, h_end int, t_begin int, t_end int, "
-        "h_id string, t_id string, label_id int, conv_id string, "
-        "turn_idx int, anno_relation_list array<string>",
-    )
+    inst = _shaped_instances(spark, schema)
     _, W = default_model(schema=schema)
     got = evaluate_multilabel(inst, dict(W), schema=schema)
 
@@ -322,6 +329,41 @@ def test_multilabel_val_and_ckpt(spark, tmp_path):
     assert hist[-1]["avg_loss"] < hist[0]["avg_loss"]
     loaded = load_state_dict_npz(ckpt)
     res = evaluate_multilabel(inst, loaded)
+    assert math.isclose(res["acc"], max(vals), rel_tol=1e-12)
+
+
+def test_multilabel_training_on_shaped_schema(spark, tmp_path):
+    """MultiLabelSentenceRE.train_model on a NAMED benchmark shape:
+    the nyt10m-shaped 25-label schema, trained on single-label rows
+    (the reference trains on distant labels and reserves
+    anno_relation_list for the manual test set) with per-epoch
+    validation over anno-bearing instances through the production
+    sigmoid path, best-ckpt save, and a reload that re-evaluates to
+    the recorded best — the last dataset-shape x training-framework
+    combination run end to end."""
+    from opennre_spark.functions.weights import (
+        default_model,
+        load_state_dict_npz,
+    )
+    from opennre_spark.operators.training import (
+        evaluate_multilabel,
+        train_sentence_model,
+    )
+
+    schema = "nyt10m_shaped"
+    inst = _shaped_instances(spark, schema, n=30)
+    _, W0 = default_model(schema=schema)
+    ckpt = str(tmp_path / "best_ml_shaped.npz")
+    _, hist = train_sentence_model(
+        inst, epochs=2, batch_size=15, lr=0.3, weight_decay=1e-5,
+        seed=3, init_weights=W0, multilabel=True, schema=schema,
+        val_instances=inst, ckpt=ckpt,
+    )
+    assert hist[-1]["avg_loss"] < hist[0]["avg_loss"]
+    vals = [h["val_acc"] for h in hist]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    loaded = load_state_dict_npz(ckpt)
+    res = evaluate_multilabel(inst, loaded, schema=schema)
     assert math.isclose(res["acc"], max(vals), rel_tol=1e-12)
 
 
