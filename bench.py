@@ -3,8 +3,18 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Headline set:
+  - kg_encode: the shared tokenize/encode front half of the CNN
+    pipeline (mentions -> candidates -> encode_instances), run ONCE per
+    round and persisted (r6, VERDICT r5 #1: the reference tokenizes
+    once at data load for every consumer, data_loader.py:183-205).
   - kg_sentence / kg_bag_att / kg_bag_one: the flagship KG pipeline
-    (synthetic transcripts at a size tied to the SF, deterministic)
+    over the persisted encoded instances (synthetic transcripts at a
+    size tied to the SF, deterministic). Flagship throughput
+    (turns_per_sec / triples_per_sec) is charged the FULL end-to-end
+    cost, kg_encode + kg_sentence — the split changes where time is
+    reported, not what is measured.
+  - kg_bert: the transformer path, full pipeline (its encode cost is
+    negligible next to the transformer GEMMs; no shared-encode).
   - a representative slice of the SQL operator battery on the
     driver-provided tables.
 
@@ -132,20 +142,39 @@ def main():
         times.setdefault(name, []).append(dt)
         return out, dt
 
+    from opennre_spark.pipeline import encode_candidates
+
     for _ in range(reps):
         round_t0 = time.time()
+        enc_box: dict = {}
+
+        def do_encode():
+            enc = encode_candidates(transcripts).persist()
+            n = enc.count()
+            enc_box["df"] = enc
+            return n
+
+        timed("kg_encode", do_encode)
+        enc = enc_box["df"]
         n_triples, _ = timed(
             "kg_sentence",
-            lambda: extract_triples(transcripts, mode="sentence").count(),
+            lambda: extract_triples(
+                transcripts, mode="sentence", encoded=enc
+            ).count(),
         )
         timed(
             "kg_bag_one",
-            lambda: extract_triples(transcripts, mode="one", threshold=0.15).count(),
+            lambda: extract_triples(
+                transcripts, mode="one", threshold=0.15, encoded=enc
+            ).count(),
         )
         timed(
             "kg_bag_att",
-            lambda: extract_triples(transcripts, mode="att", threshold=0.15).count(),
+            lambda: extract_triples(
+                transcripts, mode="att", threshold=0.15, encoded=enc
+            ).count(),
         )
+        enc.unpersist()
         timed(
             "kg_bert",
             lambda: extract_triples(
@@ -170,8 +199,12 @@ def main():
         k: round((max(v) - min(v)) / min(v), 3) for k, v in times.items()
     }
     extras["triples"] = n_triples
-    extras["turns_per_sec"] = round(n_turns / timings["kg_sentence"], 1)
-    extras["triples_per_sec"] = round(n_triples / timings["kg_sentence"], 1)
+    # flagship throughput = full end-to-end sentence-pipeline cost
+    # (shared encode + scoring/aggregation), comparable to r5's
+    # single-query kg_sentence number
+    flagship_wall = timings["kg_encode"] + timings["kg_sentence"]
+    extras["turns_per_sec"] = round(n_turns / flagship_wall, 1)
+    extras["triples_per_sec"] = round(n_triples / flagship_wall, 1)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
