@@ -3,16 +3,21 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Headline set:
-  - kg_encode: the shared tokenize/encode front half of the CNN
-    pipeline (mentions -> candidates -> encode_instances), run ONCE per
-    round and persisted (r6, VERDICT r5 #1: the reference tokenizes
-    once at data load for every consumer, data_loader.py:183-205).
-  - kg_sentence / kg_bag_att / kg_bag_one: the flagship KG pipeline
-    over the persisted encoded instances (synthetic transcripts at a
-    size tied to the SF, deterministic). Flagship throughput
-    (turns_per_sec / triples_per_sec) is charged the FULL end-to-end
-    cost, kg_encode + kg_sentence — the split changes where time is
-    reported, not what is measured.
+  - kg_sentence: the flagship KG pipeline end-to-end on the DEFAULT
+    (fused) path — raw transcripts -> triples in one job. Flagship
+    throughput (turns_per_sec / triples_per_sec) comes from this row;
+    it is directly comparable across rounds.
+  - kg_encode: the shared tokenize/encode front half (mentions ->
+    candidates -> encode_instances), run once per round and persisted
+    (r6, VERDICT r5 #1: the reference tokenizes once at data load for
+    every consumer, data_loader.py:183-205).
+  - kg_sentence_enc / kg_bag_att / kg_bag_one: consumers of the
+    persisted encoded table — the multi-query workload path. For a
+    single consumer the fused default wins (persist materialization +
+    an extra action cost ~2s fixed at sf0.1); from two consumers up
+    the shared encode wins (same-session interleaved A/B,
+    tools/bench_encode_ab.py: shared trio = 0.85x min / 0.91x median
+    of the default trio).
   - kg_bert: the transformer path, full pipeline (its encode cost is
     negligible next to the transformer GEMMs; no shared-encode).
   - a representative slice of the SQL operator battery on the
@@ -146,6 +151,10 @@ def main():
 
     for _ in range(reps):
         round_t0 = time.time()
+        n_triples, _ = timed(
+            "kg_sentence",
+            lambda: extract_triples(transcripts, mode="sentence").count(),
+        )
         enc_box: dict = {}
 
         def do_encode():
@@ -156,8 +165,8 @@ def main():
 
         timed("kg_encode", do_encode)
         enc = enc_box["df"]
-        n_triples, _ = timed(
-            "kg_sentence",
+        timed(
+            "kg_sentence_enc",
             lambda: extract_triples(
                 transcripts, mode="sentence", encoded=enc
             ).count(),
@@ -199,12 +208,10 @@ def main():
         k: round((max(v) - min(v)) / min(v), 3) for k, v in times.items()
     }
     extras["triples"] = n_triples
-    # flagship throughput = full end-to-end sentence-pipeline cost
-    # (shared encode + scoring/aggregation), comparable to r5's
-    # single-query kg_sentence number
-    flagship_wall = timings["kg_encode"] + timings["kg_sentence"]
-    extras["turns_per_sec"] = round(n_turns / flagship_wall, 1)
-    extras["triples_per_sec"] = round(n_triples / flagship_wall, 1)
+    # flagship throughput = the fused default sentence pipeline,
+    # raw transcripts -> triples (same basis as every prior round)
+    extras["turns_per_sec"] = round(n_turns / timings["kg_sentence"], 1)
+    extras["triples_per_sec"] = round(n_triples / timings["kg_sentence"], 1)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
