@@ -16,12 +16,15 @@ def _load():
 def test_battery_is_exactly_fifty():
     q, o = _load()
     assert len(q) == 50
-    # r5 shape: 41 oracle-bearing + 9 rows-only (VERDICT r4 #1 swap:
-    # a10_multilabel_eval + streaming_sessions in, the pytest-covered
-    # kg_triples_bag_fixedsize + kg_triples_wiki80 out;
-    # media_feature_extract upgraded rows-only -> oracled)
-    assert sum(1 for n in q if n in o) == 41
-    assert sum(1 for n in q if n not in o) == 9
+    # r6 shape: 43 oracle-bearing + 7 rows-only. VERDICT r5 #3:
+    # ann_ivf_topk upgraded rows-only -> oracled (the approximate probe
+    # now emits ivf_hit/recall vs the exhaustive truth); VERDICT r5 #4:
+    # streaming_sessions_append (production emit-on-watermark path,
+    # oracled over the watermark-closed prefix) replaces the rows-only
+    # kg_triples_bag_one (subsumed: a6_bag_max oracles the max agg,
+    # the full pipeline stays a bench headline + test_pipeline).
+    assert sum(1 for n in q if n in o) == 43
+    assert sum(1 for n in q if n not in o) == 7
 
 
 def test_oracle_bearing_queries_come_first():
