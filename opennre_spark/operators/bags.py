@@ -46,18 +46,22 @@ def resize_bag(pdf: pd.DataFrame, bag_size: int, h_id: str, t_id: str,
     nondeterminism, excluded from the parity surface per SURVEY.md §7);
     pad copies append at the end exactly like the reference's
     `bag + list(np.random.choice(...))`."""
-    n = len(pdf)
+    return pdf.iloc[resize_indices(len(pdf), bag_size, h_id, t_id, seed)]
+
+
+def resize_indices(n: int, bag_size: int, h_id: str, t_id: str,
+                   seed: int = 42) -> np.ndarray:
+    """The index-selection half of resize_bag, shared by the pandas and
+    Arrow-native bag kernels (identical RNG -> identical rows)."""
     seed64 = int.from_bytes(
         hashlib.md5(f"{seed}|{h_id}|{t_id}".encode()).digest()[:8], "little"
     )
     rng = np.random.default_rng(seed64)
     if n >= bag_size:
-        idx = np.sort(rng.choice(n, size=bag_size, replace=False))
-    else:
-        idx = np.concatenate(
-            [np.arange(n), rng.choice(n, size=bag_size - n, replace=True)]
-        )
-    return pdf.iloc[idx]
+        return np.sort(rng.choice(n, size=bag_size, replace=False))
+    return np.concatenate(
+        [np.arange(n), rng.choice(n, size=bag_size - n, replace=True)]
+    )
 
 BAG_SCHEMA = T.StructType([
     T.StructField("h_id", T.StringType(), False),
@@ -225,42 +229,77 @@ def bag_scores_batched(
                 _, weights = default_model(
                     pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
                 )
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+
+        from .scoring import _list_f32
+
+        for rb in batches:
+            n_bags = rb.num_rows
+            if not n_bags:
                 continue
-            out_h, out_t, out_n, out_s = [], [], [], []
-            for h, t, members in zip(
-                pdf["h_id"], pdf["t_id"], pdf["__members"]
-            ):
-                members = sorted(
-                    members, key=lambda m: tuple(m[c] for c in sort_cols)
+            # Arrow-native decode (r6): the pandas conversion built a
+            # python dict PER MEMBER (list<struct> -> list-of-dicts) and
+            # a numpy object per __v row; here the list offsets index
+            # straight into the struct children as flat numpy arrays,
+            # and per-bag ordering is an np.lexsort over the stable-key
+            # child slices — the sorted member order (unique key) and
+            # the resulting float32 matrices are identical to the
+            # pandas path, so kernel outputs are bitwise unchanged.
+            mem = rb.column("__members")
+            offs = np.asarray(mem.offsets)
+            members = mem.values  # StructArray over all bags' members
+            keys = {
+                c: np.asarray(members.field(c)) for c in sort_cols
+            }
+            vv = members.field("__v")
+            vv_offs = np.asarray(vv.offsets)
+            d_sizes = np.diff(vv_offs)
+            d = int(d_sizes[0]) if len(d_sizes) else 0
+            if len(d_sizes) and not np.all(d_sizes == d):
+                raise ValueError("ragged member vectors in bag assembly")
+            flat = np.asarray(vv.values, dtype=np.float32)
+            span = np.arange(d, dtype=np.int64)
+            h_ids = rb.column("h_id").to_pylist()
+            t_ids = rb.column("t_id").to_pylist()
+            out_n = np.empty(n_bags, dtype=np.int32)
+            out_rows = []
+            for i in range(n_bags):
+                lo, hi = int(offs[i]), int(offs[i + 1])
+                order = np.lexsort(
+                    tuple(keys[c][lo:hi] for c in reversed(sort_cols))
                 )
-                sub = pd.DataFrame({"__v": [m["__v"] for m in members]})
+                idx = lo + order
                 if bag_size > 0:
-                    sub = resize_bag(sub, bag_size, h, t, bag_seed)
-                elif bag_cap > 0 and len(sub) > bag_cap:
-                    sub = sub.iloc[:bag_cap]
-                mat = np.asarray(sub["__v"].tolist(), dtype=np.float32)
+                    idx = idx[
+                        resize_indices(
+                            len(idx), bag_size, h_ids[i], t_ids[i], bag_seed
+                        )
+                    ]
+                elif bag_cap > 0 and len(idx) > bag_cap:
+                    idx = idx[:bag_cap]
+                # exact gather: member j's vector lives at
+                # flat[vv_offs[j] : vv_offs[j]+d] (offsets are global
+                # into the full inner child — verified Arrow semantics)
+                mat = flat[vv_offs[idx][:, None] + span[None, :]]
                 if method == "one":
                     out = kernels.bag_one_eval(mat)
                 elif method == "att":
                     out = kernels.bag_attention_eval(mat, weights)
                 else:
                     out = kernels.bag_average_eval(mat, weights)
-                out_h.append(h)
-                out_t.append(t)
-                out_n.append(len(sub))
-                out_s.append(out.astype(np.float32))
-            yield pd.DataFrame(
-                {
-                    "h_id": out_h,
-                    "t_id": out_t,
-                    "n_sentences": np.asarray(out_n, dtype=np.int32),
-                    "scores": out_s,
-                }
+                out_n[i] = len(idx)
+                out_rows.append(out.astype(np.float32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("h_id"),
+                    rb.column("t_id"),
+                    pa.array(out_n, type=pa.int32()),
+                    _list_f32(np.stack(out_rows)),
+                ],
+                names=["h_id", "t_id", "n_sentences", "scores"],
             )
 
-    return grouped.mapInPandas(run, schema=BAG_SCHEMA)
+    return grouped.mapInArrow(run, schema=BAG_SCHEMA)
 
 
 def bag_one_native(scored: DataFrame) -> DataFrame:

@@ -3,10 +3,10 @@ kernel (SURVEY.md §2.10 `tokenize_encode_score`).
 
 Replaces the reference's per-item `SoftmaxNN.infer` (softmax_nn.py:28-39)
 and the bag eval's 256-row encoder micro-batching
-(bag_attention.py:138-150) with one mapInPandas pass: Arrow delivers
-columnar batches, tokenization is per-row string work inside the batch,
-all dense math is one numpy GEMM per micro-batch. No per-row Python UDF
-anywhere (north rule).
+(bag_attention.py:138-150) with one mapInArrow pass: Arrow delivers
+columnar RecordBatches, tokenization is per-row string work inside the
+batch, all dense math is one numpy GEMM per micro-batch. No per-row
+Python UDF anywhere (north rule).
 
 Arrow-boundary hygiene (measured: this is where composed-plan time
 went): only the columns downstream actually consumes cross the
@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -35,6 +35,85 @@ from .. import config
 # consumed inside the UDF, never re-emitted (h_begin/t_begin stay: they
 # are part of the bag stable-ordering key, and they're cheap ints)
 _CONSUMED = ("text", "h_end", "t_end", "h_name", "t_name")
+
+
+# --- Arrow-native batch plumbing (r6) ---------------------------------
+# The scoring stages are mapInArrow, not mapInPandas: the pandas
+# round-trip materialized a python object per cell for binary and
+# array<float> columns (bytes for tok_bin, one numpy object per row for
+# scores/rep), which measurably taxed the Python boundary. RecordBatch
+# in / RecordBatch out keeps every fixed-width column zero-copy and
+# builds variable-width outputs from ONE flat buffer + an offsets
+# vector. The numpy arrays handed to the kernels are bit-identical to
+# what the pandas path produced, so scoring parity is unaffected
+# (test_encoded_scoring_bitwise_parity pins exact float equality).
+
+
+def _list_f32(mat: np.ndarray):
+    """(n, d) float32 -> Arrow list<float32> from one flat buffer."""
+    import pyarrow as pa
+
+    n, d = mat.shape
+    flat = np.ascontiguousarray(mat, dtype=np.float32).reshape(-1)
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.float32()))
+
+
+def _binary_from_block(block: np.ndarray):
+    """(n, L) little-endian int32 -> Arrow binary (n items, L*4 bytes
+    each) via one data buffer + an arithmetic offsets vector."""
+    import pyarrow as pa
+
+    n, L = block.shape
+    item = L * 4
+    data = pa.py_buffer(np.ascontiguousarray(block.astype("<i4", copy=False)).tobytes())
+    offsets = pa.py_buffer(
+        np.arange(0, (n + 1) * item, item, dtype=np.int32).tobytes()
+    )
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
+def _tokens_from_binary(arr, L: int) -> np.ndarray:
+    """Arrow binary array of uniform L*4-byte items -> (n, L) int32,
+    zero-copy off the values buffer (offsets in Arrow binary layout are
+    monotone and adjacent, so uniform item length implies a contiguous
+    block)."""
+    n = len(arr)
+    item = L * 4
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ]
+    if n and np.all(np.diff(off) == item):
+        flat = np.frombuffer(
+            arr.buffers()[2], dtype="<i4", offset=int(off[0]), count=n * L
+        )
+        return flat.reshape(n, L)
+    # non-uniform items cannot come from _binary_from_block; defensive
+    return np.frombuffer(b"".join(arr.to_pylist()), dtype="<i4").reshape(n, L)
+
+
+def _int_col(rb, name: str) -> np.ndarray:
+    return rb.column(name).to_numpy(zero_copy_only=False)
+
+
+def _emit_scored(rb, keep_names, pr, rep, with_scores: bool, with_rep: bool):
+    """Output RecordBatch: kept input columns by reference + the
+    prediction columns from flat numpy."""
+    import pyarrow as pa
+
+    cols = [rb.column(nm) for nm in keep_names]
+    names = list(keep_names)
+    cols.append(pa.array(pr.argmax(axis=1).astype(np.int32), type=pa.int32()))
+    names.append("pred_rel_id")
+    cols.append(pa.array(pr.max(axis=1).astype(np.float32), type=pa.float32()))
+    names.append("pred_score")
+    if with_scores:
+        cols.append(_list_f32(pr))
+        names.append("scores")
+    if with_rep:
+        cols.append(_list_f32(rep))
+        names.append("rep")
+    return pa.RecordBatch.from_arrays(cols, names=names)
 
 
 def score_instances(
@@ -79,7 +158,7 @@ def score_instances(
     out_schema = T.StructType(out_fields)
     keep_names = [f.name for f in keep]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator) -> Iterator:
         from ..functions import kernels
         from ..functions.encoding import encode_batch
         from ..functions.weights import default_model
@@ -128,15 +207,15 @@ def score_instances(
                     logits = kernels.linear(rep, weights["fc_w"], weights["fc_b"])
                     pr = kernels.sigmoid(logits)
                 return rep, pr
-        for pdf in batches:
-            n = len(pdf)
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
-            texts = pdf["text"].tolist()
-            hb = pdf["h_begin"].to_numpy()
-            he = pdf["h_end"].to_numpy()
-            tb = pdf["t_begin"].to_numpy()
-            te = pdf["t_end"].to_numpy()
+            texts = rb.column("text").to_pylist()
+            hb = _int_col(rb, "h_begin")
+            he = _int_col(rb, "h_end")
+            tb = _int_col(rb, "t_begin")
+            te = _int_col(rb, "t_end")
             reps = []
             probs = []
             # bounded micro-batches (reference bs=256, bag_attention.py:140)
@@ -149,17 +228,12 @@ def score_instances(
                 if with_rep:
                     reps.append(rep)
             pr = np.concatenate(probs, 0) if len(probs) > 1 else probs[0]
-            out = pdf[keep_names].copy()
-            out["pred_rel_id"] = pr.argmax(axis=1).astype(np.int32)
-            out["pred_score"] = pr.max(axis=1).astype(np.float32)
-            if with_scores:
-                out["scores"] = list(pr)
+            rep = None
             if with_rep:
                 rep = np.concatenate(reps, 0) if len(reps) > 1 else reps[0]
-                out["rep"] = list(rep)
-            yield out
+            yield _emit_scored(rb, keep_names, pr, rep, with_scores, with_rep)
 
-    return instances.mapInPandas(run, schema=out_schema)
+    return instances.mapInArrow(run, schema=out_schema)
 
 
 def encode_instances(
@@ -203,7 +277,9 @@ def encode_instances(
     out_schema = T.StructType(out_fields)
     keep_names = [f.name for f in keep]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
         from ..functions.encoding import encode_tokens_batch
         from ..functions.weights import default_model
 
@@ -211,27 +287,34 @@ def encode_instances(
         pad_id = vocab["[PAD]"]
         unk_id = vocab["[UNK]"]
         L = int(weights["max_length"])
-        for pdf in batches:
-            n = len(pdf)
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
             enc = encode_tokens_batch(
-                pdf["text"].tolist(),
-                pdf["h_begin"].to_numpy(),
-                pdf["h_end"].to_numpy(),
-                pdf["t_begin"].to_numpy(),
-                pdf["t_end"].to_numpy(),
+                rb.column("text").to_pylist(),
+                _int_col(rb, "h_begin"),
+                _int_col(rb, "h_end"),
+                _int_col(rb, "t_begin"),
+                _int_col(rb, "t_end"),
                 vocab, L, pad_id, unk_id,
             )
-            tok = np.ascontiguousarray(enc["token"].astype("<i4"))
-            out = pdf[keep_names].copy()
-            out["tok_bin"] = [tok[i].tobytes() for i in range(n)]
-            out["h_start"] = enc["p1_start"].astype(np.int32)
-            out["t_start"] = enc["p2_start"].astype(np.int32)
-            out["n_tok"] = enc["n_real"].astype(np.int32)
-            yield out
+            cols = [rb.column(nm) for nm in keep_names]
+            names = list(keep_names)
+            cols.append(_binary_from_block(enc["token"]))
+            names.append("tok_bin")
+            for out_name, key in (
+                ("h_start", "p1_start"),
+                ("t_start", "p2_start"),
+                ("n_tok", "n_real"),
+            ):
+                cols.append(
+                    pa.array(enc[key].astype(np.int32), type=pa.int32())
+                )
+                names.append(out_name)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    return instances.mapInPandas(run, schema=out_schema)
+    return instances.mapInArrow(run, schema=out_schema)
 
 
 def score_encoded(
@@ -273,7 +356,7 @@ def score_encoded(
     out_schema = T.StructType(out_fields)
     keep_names = [f.name for f in keep]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator) -> Iterator:
         from ..functions import kernels
         from ..functions.encoding import positions_from_starts
         from ..functions.weights import default_model
@@ -282,16 +365,14 @@ def score_encoded(
             pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
         )
         L = int(weights["max_length"])
-        for pdf in batches:
-            n = len(pdf)
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
-            token = np.frombuffer(
-                b"".join(pdf["tok_bin"]), dtype="<i4"
-            ).reshape(n, L).astype(np.int64)
-            h_start = pdf["h_start"].to_numpy().astype(np.int64)
-            t_start = pdf["t_start"].to_numpy().astype(np.int64)
-            n_real = pdf["n_tok"].to_numpy().astype(np.int64)
+            token = _tokens_from_binary(rb.column("tok_bin"), L).astype(np.int64)
+            h_start = _int_col(rb, "h_start").astype(np.int64)
+            t_start = _int_col(rb, "t_start").astype(np.int64)
+            n_real = _int_col(rb, "n_tok").astype(np.int64)
             reps = []
             probs = []
             for lo in range(0, n, micro_batch):
@@ -314,17 +395,12 @@ def score_encoded(
                 if with_rep:
                     reps.append(rep)
             pr = np.concatenate(probs, 0) if len(probs) > 1 else probs[0]
-            out = pdf[keep_names].copy()
-            out["pred_rel_id"] = pr.argmax(axis=1).astype(np.int32)
-            out["pred_score"] = pr.max(axis=1).astype(np.float32)
-            if with_scores:
-                out["scores"] = list(pr)
+            rep = None
             if with_rep:
                 rep = np.concatenate(reps, 0) if len(reps) > 1 else reps[0]
-                out["rep"] = list(rep)
-            yield out
+            yield _emit_scored(rb, keep_names, pr, rep, with_scores, with_rep)
 
-    return encoded.mapInPandas(run, schema=out_schema)
+    return encoded.mapInArrow(run, schema=out_schema)
 
 
 def sentence_predictions(scored: DataFrame, id2rel: dict[int, str]) -> DataFrame:
