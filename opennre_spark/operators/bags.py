@@ -360,7 +360,10 @@ def bag_average_native(
     )
 
     def classify(batches):
+        import pyarrow as pa
+
         from ..functions import kernels
+        from .scoring import _list_f32
 
         if encoder in ("bert", "bert_entity"):
             from ..functions.bert_kernels import default_bert_model
@@ -374,17 +377,34 @@ def bag_average_native(
             _, weights = default_model(
                 pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
             )
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            rep = _np.asarray(pdf["bag_rep"].tolist(), dtype=_np.float32)
+            br = rb.column("bag_rep")
+            offs = _np.asarray(br.offsets)
+            if _np.all(_np.diff(offs) == n_dim):
+                # contiguous uniform lists: one reshape off the child
+                # buffer (offsets are global into the child, so slice
+                # from offs[0], not 0)
+                rep = _np.asarray(br.values, dtype=_np.float32)[
+                    offs[0] : offs[0] + n * n_dim
+                ].reshape(n, n_dim)
+            else:
+                rep = _np.asarray(br.to_pylist(), dtype=_np.float32)
             logits = kernels.linear(rep, weights["fc_w"], weights["fc_b"])
             probs = kernels.softmax(logits, axis=-1).astype(_np.float32)
-            out = pdf[["h_id", "t_id", "n_sentences"]].copy()
-            out["scores"] = list(probs)
-            yield out
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("h_id"),
+                    rb.column("t_id"),
+                    rb.column("n_sentences"),
+                    _list_f32(probs),
+                ],
+                names=["h_id", "t_id", "n_sentences", "scores"],
+            )
 
-    return means.mapInPandas(classify, schema=BAG_SCHEMA)
+    return means.mapInArrow(classify, schema=BAG_SCHEMA)
 
 
 def explode_bag_scores(bags: DataFrame, id2rel: dict[int, str]) -> DataFrame:

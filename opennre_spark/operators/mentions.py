@@ -7,8 +7,12 @@ matcher: longest-match-first regex over the turn text, returning char
 spans in the same [start, end) convention the reference instances use
 (FIXTURES.md F4, base_encoder.py:97-98 `item['h']['pos']`).
 
-Runs as mapInPandas (Arrow-batched, no per-row Python UDF): the compiled
+Runs as mapInArrow (Arrow-batched, no per-row Python UDF): the compiled
 regex is built once per executor process from the broadcast gazetteer.
+Only the match positions are Python; the carried-along columns
+(conv_id, turn_idx, text) fan out to one-row-per-mention via an Arrow
+take() gather on the input buffers, so the (possibly long) turn text is
+never re-encoded through Python objects on the way out.
 """
 
 from __future__ import annotations
@@ -16,7 +20,6 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -63,22 +66,42 @@ def detect_mentions(transcripts: DataFrame, gazetteer: list) -> DataFrame:
     """
     gaz = tuple(tuple(g) for g in gazetteer)
 
-    def find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def find(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         pattern, by_name = _matcher(gaz)
-        for pdf in batches:
-            rows = []
-            for conv_id, turn_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
-            ):
+        for rb in batches:
+            texts = rb.column("text").to_pylist()
+            ridx: list[int] = []
+            eids: list[str] = []
+            names: list[str] = []
+            begins: list[int] = []
+            ends: list[int] = []
+            for i, text in enumerate(texts):
                 for m in pattern.finditer(text):
                     name = m.group(1)
-                    eid, _ = by_name[name]
-                    rows.append(
-                        (conv_id, int(turn_idx), text, eid, name, m.start(1), m.end(1))
-                    )
-            if rows:
-                yield pd.DataFrame(rows, columns=[f.name for f in MENTION_SCHEMA])
+                    ridx.append(i)
+                    eids.append(by_name[name][0])
+                    names.append(name)
+                    begins.append(m.start(1))
+                    ends.append(m.end(1))
+            if not ridx:
+                continue
+            take = pa.array(ridx, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(rb.column("conv_id"), take),
+                    pc.take(rb.column("turn_idx"), take),
+                    pc.take(rb.column("text"), take),
+                    pa.array(eids, type=pa.string()),
+                    pa.array(names, type=pa.string()),
+                    pa.array(begins, type=pa.int32()),
+                    pa.array(ends, type=pa.int32()),
+                ],
+                names=[f.name for f in MENTION_SCHEMA],
+            )
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+    return transcripts.select("conv_id", "turn_idx", "text").mapInArrow(
         find, schema=MENTION_SCHEMA
     )
