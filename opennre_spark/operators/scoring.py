@@ -59,6 +59,16 @@ def _list_f32(mat: np.ndarray):
     return pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.float32()))
 
 
+def _list_i32(mat: np.ndarray):
+    """(n, d) ints -> Arrow list<int32> from one flat buffer."""
+    import pyarrow as pa
+
+    n, d = mat.shape
+    flat = np.ascontiguousarray(mat.astype(np.int32, copy=False)).reshape(-1)
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.int32()))
+
+
 def _binary_from_block(block: np.ndarray):
     """(n, L) little-endian int32 -> Arrow binary (n items, L*4 bytes
     each) via one data buffer + an arithmetic offsets vector."""

@@ -5,7 +5,7 @@ and `SentenceRE.train_model` (sentence_re.py:96-139) in Spark.
 
 Shape (the classic Spark parameter-server-less pattern, MLlib-style):
   1. label + encode instances ONCE (distant supervision join + one
-     mapInPandas tokenize/encode pass) and assemble train bags keyed by
+     mapInArrow tokenize/encode pass) and assemble train bags keyed by
      the gold fact (h_id, t_id, label) — `entpair_as_bag=False`
      training semantics (data_loader.py:166-168);
   2. localCheckpoint the assembled bag table (training iterates many
@@ -255,6 +255,10 @@ def encode_labeled(
     keep = [f.name for f in instances.schema.fields if f.name in _ENC_COLS]
 
     def run(batches):
+        import pyarrow as pa
+
+        from .scoring import _int_col, _list_i32
+
         if bert:
             from .. import config
             from ..functions.bert_encoding import bert_encode_batch
@@ -271,33 +275,41 @@ def encode_labeled(
             vocab, weights = default_model(schema=schema, pcnn=pcnn)
             pad_id, unk_id = vocab["[PAD]"], vocab["[UNK]"]
             L = int(weights["max_length"])
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
             args = (
-                pdf["text"].tolist(),
-                pdf["h_begin"].to_numpy(), pdf["h_end"].to_numpy(),
-                pdf["t_begin"].to_numpy(), pdf["t_end"].to_numpy(),
+                rb.column("text").to_pylist(),
+                _int_col(rb, "h_begin"), _int_col(rb, "h_end"),
+                _int_col(rb, "t_begin"), _int_col(rb, "t_end"),
             )
-            out = pdf[keep].copy()
+            cols = [rb.column(nm) for nm in keep]
+            names = list(keep)
             if bert:
                 enc = bert_encode_batch(*args, vocab, L)
-                out["token"] = list(enc["token"].astype(np.int32))
-                out["pos1"] = list(enc["pos1"].astype(np.int32).reshape(-1, 1))
-                out["pos2"] = list(enc["pos2"].astype(np.int32).reshape(-1, 1))
-                out["mask"] = list(enc["att_mask"].astype(np.int32))
+                cols += [
+                    _list_i32(enc["token"]),
+                    _list_i32(enc["pos1"].reshape(-1, 1)),
+                    _list_i32(enc["pos2"].reshape(-1, 1)),
+                    _list_i32(enc["att_mask"]),
+                ]
+                names += ["token", "pos1", "pos2", "mask"]
             else:
                 enc = encode_batch(
                     *args, vocab, L, pad_id, unk_id, with_mask=pcnn
                 )
-                out["token"] = list(enc["token"].astype(np.int32))
-                out["pos1"] = list(enc["pos1"].astype(np.int32))
-                out["pos2"] = list(enc["pos2"].astype(np.int32))
+                cols += [
+                    _list_i32(enc["token"]),
+                    _list_i32(enc["pos1"]),
+                    _list_i32(enc["pos2"]),
+                ]
+                names += ["token", "pos1", "pos2"]
                 if pcnn:
-                    out["mask"] = list(enc["mask"].astype(np.int32))
-            yield out
+                    cols.append(_list_i32(enc["mask"]))
+                    names.append("mask")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    return instances.mapInPandas(run, schema=out_schema)
+    return instances.mapInArrow(run, schema=out_schema)
 
 
 def assemble_train_bags(
