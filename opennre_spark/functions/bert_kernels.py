@@ -152,10 +152,18 @@ _FWD_SCRATCH: dict = {}
 
 
 def _buf(name: str, shape: tuple) -> np.ndarray:
-    a = _FWD_SCRATCH.get(name)
-    if a is None or a.shape != shape:
+    # keyed by (name, shape): the r7 length-truncated eval path cycles
+    # through a handful of (B, Lb) shapes per task (Lb = per-micro-batch
+    # max real length rounded to 8), and a name-only key would realloc
+    # on every shape flip. Bounded: odd last-chunk sizes could otherwise
+    # accumulate buffers without limit on a long-lived worker.
+    key = (name,) + shape
+    a = _FWD_SCRATCH.get(key)
+    if a is None:
+        if len(_FWD_SCRATCH) >= 64:
+            _FWD_SCRATCH.clear()
         a = np.empty(shape, np.float32)
-        _FWD_SCRATCH[name] = a
+        _FWD_SCRATCH[key] = a
     return a
 
 

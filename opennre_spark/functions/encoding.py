@@ -27,7 +27,48 @@ from __future__ import annotations
 
 import numpy as np
 
-from .tokenization import clean_and_split, tokens_to_ids
+from .tokenization import _SIMPLE_ASCII, clean_and_split, tokens_to_ids
+
+
+def _encode_normalized(
+    text: str,
+    a0: int, a1: int, b0: int, b1: int,
+    vocab: dict[str, int],
+    max_length: int,
+    pad_id: int,
+    unk_id: int,
+    mask_entity: bool,
+):
+    """The span-order-normalized core of encode_instance ((a0, a1) is
+    the earlier span): tokenize the five slices, id-encode, return
+    (ids, first_start, second_start, n_tokens). A pure function of its
+    arguments — the direction of a pair (which span is head) does not
+    change it, which is what lets encode_tokens_batch memoize it per
+    (text, spans) and pay the string work once for a cross-turn pair's
+    two directed instances (and for exact duplicate instances)."""
+    if _SIMPLE_ASCII.match(text):
+        # one whole-text check instead of five per-slice checks: every
+        # substring of printable-ASCII text is printable-ASCII, so
+        # clean_and_split degenerates to str.split for all five slices
+        sent0 = text[:a0].split()
+        ent0 = text[a0:a1].split()
+        sent1 = text[a1:b0].split()
+        ent1 = text[b0:b1].split()
+        sent2 = text[b1:].split()
+    else:
+        sent0 = clean_and_split(text[:a0])
+        ent0 = clean_and_split(text[a0:a1])
+        sent1 = clean_and_split(text[a1:b0])
+        ent1 = clean_and_split(text[b0:b1])
+        sent2 = clean_and_split(text[b1:])
+    if mask_entity:
+        ent0 = ["[UNK]"]
+        ent1 = ["[UNK]"]
+    tokens = sent0 + ent0 + sent1 + ent1 + sent2
+    first_start = len(sent0)
+    second_start = len(sent0) + len(ent0) + len(sent1)
+    ids = tokens_to_ids(tokens, vocab, max_length, pad_id, unk_id)
+    return ids, first_start, second_start, len(tokens)
 
 
 def encode_instance(
@@ -52,23 +93,13 @@ def encode_instance(
     else:
         (a0, a1), (b0, b1) = (h0, h1), (t0, t1)
         rev = False
-    sent0 = clean_and_split(text[:a0])
-    ent0 = clean_and_split(text[a0:a1])
-    sent1 = clean_and_split(text[a1:b0])
-    ent1 = clean_and_split(text[b0:b1])
-    sent2 = clean_and_split(text[b1:])
-    if mask_entity:
-        ent0 = ["[UNK]"]
-        ent1 = ["[UNK]"]
-    tokens = sent0 + ent0 + sent1 + ent1 + sent2
-    first_start = len(sent0)
-    second_start = len(sent0) + len(ent0) + len(sent1)
+    ids, first_start, second_start, n_tokens = _encode_normalized(
+        text, a0, a1, b0, b1, vocab, max_length, pad_id, unk_id, mask_entity
+    )
     if rev:
         head_start, tail_start = second_start, first_start
     else:
         head_start, tail_start = first_start, second_start
-    ids = tokens_to_ids(tokens, vocab, max_length, pad_id, unk_id)
-    n_tokens = len(tokens)
     return ids, min(head_start, max_length), min(tail_start, max_length), n_tokens
 
 
@@ -100,19 +131,40 @@ def encode_tokens_batch(
     p1_start = np.empty(B, dtype=np.int64)
     p2_start = np.empty(B, dtype=np.int64)
     n_real = np.empty(B, dtype=np.int64)
+    # r7 tokenize memo: the per-row string work is a pure function of
+    # (text, span-order-normalized spans) — a cross-turn pair's two
+    # directed instances (adjacent in the batch since candidate_pairs
+    # repartitions pre-explode) and exact duplicate instances hit the
+    # memo and copy the already-encoded row instead of re-tokenizing.
+    # Bounded per call (one Arrow batch), results bit-identical by
+    # construction.
+    memo: dict[tuple, tuple[int, int, int, int]] = {}
     for i in range(B):
-        ids, hs, ts, n = encode_instance(
-            texts[i],
-            (h_starts[i], h_ends[i]),
-            (t_starts[i], t_ends[i]),
-            vocab,
-            L,
-            pad_id,
-            unk_id,
-        )
-        token[i] = ids
-        p1_start[i] = hs
-        p2_start[i] = ts
+        h0, h1 = int(h_starts[i]), int(h_ends[i])
+        t0, t1 = int(t_starts[i]), int(t_ends[i])
+        if h0 > t0:
+            key_spans = (t0, t1, h0, h1)
+            rev = True
+        else:
+            key_spans = (h0, h1, t0, t1)
+            rev = False
+        key = (texts[i],) + key_spans
+        hit = memo.get(key)
+        if hit is None:
+            ids, first, second, n = _encode_normalized(
+                texts[i], *key_spans, vocab, L, pad_id, unk_id, False
+            )
+            token[i] = ids
+            memo[key] = (i, first, second, n)
+        else:
+            j, first, second, n = hit
+            token[i] = token[j]
+        if rev:
+            hs, ts = second, first
+        else:
+            hs, ts = first, second
+        p1_start[i] = min(hs, L)
+        p2_start[i] = min(ts, L)
         n_real[i] = min(n, L)
     return {
         "token": token,

@@ -194,20 +194,29 @@ def bag_scores_batched(
     needs_rep = method in ("att", "avg")
     value_col = "rep" if needs_rep else "scores"
     sort_cols = [c for c in _SORT_COLS if c in scored.columns]
-    if bag_cap > 0 and bag_size == 0 and sort_cols:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("h_id", "t_id").orderBy(
-            *[F.col(c) for c in sort_cols]
-        )
-        scored = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= F.lit(bag_cap))
-            .drop("__rn")
-        )
-    member = F.struct(*sort_cols, F.col(value_col).alias("__v"))
-    grouped = scored.groupBy("h_id", "t_id").agg(
-        F.collect_list(member).alias("__members")
+    # r7 plan rework (guide §5): the r6 shape was groupBy + collect_list
+    # + mapInArrow — correct, but collect_list materializes every bag in
+    # JVM aggregation buffers, and this corpus concentrates millions of
+    # (H,)-dim rep rows into a few THOUSAND bags (sf1.0 bench: 3.38M
+    # members x 928 B into 3,540 bags, hot bag 24k members) — multi-GB
+    # of live UnsafeArrayData across 32 local tasks, GC/spill blowups
+    # and a 2-3x run-to-run spread on kg_bag_att. Same single hash
+    # exchange, but as repartition(h_id, t_id) + sortWithinPartitions
+    # (the spill-SAFE external sorter) + ONE mapInArrow pass that walks
+    # the sorted runs: no aggregation buffer exists at all, rows stream
+    # through Arrow, and Python holds at most one bag's matrix (exactly
+    # what the kernel needs anyway). Members arrive pre-sorted by the
+    # same stable key the r6 kernel lexsorted by, so each bag's float32
+    # matrix — and therefore every kernel output — is bitwise unchanged
+    # (pinned by the bag-path parity tests). The deterministic bag_cap
+    # drops rows past the cap as they stream (bitwise-equal to the r6
+    # row_number window over the same ordering, without the WindowExec
+    # pass); bag_size keeps whole-run assembly (pad-with-replacement
+    # needs every member).
+    part = (
+        scored.select("h_id", "t_id", *sort_cols, value_col)
+        .repartition("h_id", "t_id")
+        .sortWithinPartitions("h_id", "t_id", *sort_cols)
     )
 
     def run(batches):
@@ -230,76 +239,113 @@ def bag_scores_batched(
                     pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
                 )
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from .scoring import _list_f32
 
+        def bag_out(h_id, t_id, mat, n_members):
+            """Kernel over one COMPLETE bag's stable-ordered matrix."""
+            if bag_size > 0:
+                mat = mat[resize_indices(n_members, bag_size, h_id, t_id, bag_seed)]
+            if method == "one":
+                out = kernels.bag_one_eval(mat)
+            elif method == "att":
+                out = kernels.bag_attention_eval(mat, weights)
+            else:
+                out = kernels.bag_average_eval(mat, weights)
+            return out.astype(np.float32), len(mat)
+
+        # carry state for a bag spanning record-batch boundaries
+        cur_key: tuple | None = None
+        cur_parts: list[np.ndarray] = []
+        cur_n = 0  # true member count (cap path may drop rows from parts)
+
+        def finish():
+            nonlocal cur_key, cur_parts, cur_n
+            mat = (
+                np.concatenate(cur_parts, 0)
+                if len(cur_parts) != 1
+                else cur_parts[0]
+            )
+            scores, n_out = bag_out(cur_key[0], cur_key[1], mat, cur_n)
+            out = (cur_key[0], cur_key[1], n_out, scores)
+            cur_key, cur_parts, cur_n = None, [], 0
+            return out
+
         for rb in batches:
-            n_bags = rb.num_rows
-            if not n_bags:
+            n = rb.num_rows
+            if not n:
                 continue
-            # Arrow-native decode (r6): the pandas conversion built a
-            # python dict PER MEMBER (list<struct> -> list-of-dicts) and
-            # a numpy object per __v row; here the list offsets index
-            # straight into the struct children as flat numpy arrays,
-            # and per-bag ordering is an np.lexsort over the stable-key
-            # child slices — the sorted member order (unique key) and
-            # the resulting float32 matrices are identical to the
-            # pandas path, so kernel outputs are bitwise unchanged.
-            mem = rb.column("__members")
-            offs = np.asarray(mem.offsets)
-            members = mem.values  # StructArray over all bags' members
-            keys = {
-                c: np.asarray(members.field(c)) for c in sort_cols
-            }
-            vv = members.field("__v")
+            vv = rb.column(value_col)
             vv_offs = np.asarray(vv.offsets)
             d_sizes = np.diff(vv_offs)
             d = int(d_sizes[0]) if len(d_sizes) else 0
             if len(d_sizes) and not np.all(d_sizes == d):
                 raise ValueError("ragged member vectors in bag assembly")
             flat = np.asarray(vv.values, dtype=np.float32)
-            span = np.arange(d, dtype=np.int64)
-            h_ids = rb.column("h_id").to_pylist()
-            t_ids = rb.column("t_id").to_pylist()
-            out_n = np.empty(n_bags, dtype=np.int32)
-            out_rows = []
-            for i in range(n_bags):
-                lo, hi = int(offs[i]), int(offs[i + 1])
-                order = np.lexsort(
-                    tuple(keys[c][lo:hi] for c in reversed(sort_cols))
+            mat_all = flat[int(vv_offs[0]) : int(vv_offs[0]) + n * d].reshape(n, d)
+            ha, ta = rb.column("h_id"), rb.column("t_id")
+            if n > 1:
+                chg = pc.or_(
+                    pc.not_equal(ha.slice(1), ha.slice(0, n - 1)),
+                    pc.not_equal(ta.slice(1), ta.slice(0, n - 1)),
                 )
-                idx = lo + order
-                if bag_size > 0:
-                    idx = idx[
-                        resize_indices(
-                            len(idx), bag_size, h_ids[i], t_ids[i], bag_seed
-                        )
-                    ]
-                elif bag_cap > 0 and len(idx) > bag_cap:
-                    idx = idx[:bag_cap]
-                # exact gather: member j's vector lives at
-                # flat[vv_offs[j] : vv_offs[j]+d] (offsets are global
-                # into the full inner child — verified Arrow semantics)
-                mat = flat[vv_offs[idx][:, None] + span[None, :]]
-                if method == "one":
-                    out = kernels.bag_one_eval(mat)
-                elif method == "att":
-                    out = kernels.bag_attention_eval(mat, weights)
+                bounds = np.flatnonzero(
+                    chg.to_numpy(zero_copy_only=False)
+                ) + 1
+            else:
+                bounds = np.empty(0, dtype=np.int64)
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            h_first = ha.take(pa.array(starts, type=pa.int64())).to_pylist()
+            t_first = ta.take(pa.array(starts, type=pa.int64())).to_pylist()
+            done: list[tuple] = []
+            for i in range(len(starts)):
+                lo, hi = int(starts[i]), int(ends[i])
+                key = (h_first[i], t_first[i])
+                if cur_key is not None and key != cur_key:
+                    done.append(finish())
+                if cur_key is None:
+                    cur_key = key
+                run_n = hi - lo
+                if bag_cap > 0 and bag_size == 0:
+                    take = max(0, min(run_n, bag_cap - sum(
+                        p.shape[0] for p in cur_parts
+                    )))
                 else:
-                    out = kernels.bag_average_eval(mat, weights)
-                out_n[i] = len(idx)
-                out_rows.append(out.astype(np.float32))
+                    take = run_n
+                if take:
+                    cur_parts.append(mat_all[lo : lo + take])
+                cur_n += run_n
+            # every run except possibly the last is complete inside this
+            # batch — but a run only ENDS when the next key differs, so
+            # the final run stays open until the next batch (or EOF)
+            if done:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([x[0] for x in done], type=pa.string()),
+                        pa.array([x[1] for x in done], type=pa.string()),
+                        pa.array(
+                            np.asarray([x[2] for x in done], dtype=np.int32),
+                            type=pa.int32(),
+                        ),
+                        _list_f32(np.stack([x[3] for x in done])),
+                    ],
+                    names=["h_id", "t_id", "n_sentences", "scores"],
+                )
+        if cur_key is not None:
+            x = finish()
             yield pa.RecordBatch.from_arrays(
                 [
-                    rb.column("h_id"),
-                    rb.column("t_id"),
-                    pa.array(out_n, type=pa.int32()),
-                    _list_f32(np.stack(out_rows)),
+                    pa.array([x[0]], type=pa.string()),
+                    pa.array([x[1]], type=pa.string()),
+                    pa.array(np.asarray([x[2]], dtype=np.int32), type=pa.int32()),
+                    _list_f32(x[3][None, :]),
                 ],
                 names=["h_id", "t_id", "n_sentences", "scores"],
             )
 
-    return grouped.mapInArrow(run, schema=BAG_SCHEMA)
+    return part.mapInArrow(run, schema=BAG_SCHEMA)
 
 
 def bag_one_native(scored: DataFrame) -> DataFrame:

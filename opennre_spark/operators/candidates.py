@@ -38,9 +38,21 @@ INSTANCE_COLS = [
 
 
 def candidate_pairs(
-    mentions: DataFrame, window_turns: int = config.PAIR_WINDOW_TURNS
+    mentions: DataFrame,
+    window_turns: int = config.PAIR_WINDOW_TURNS,
+    repartition: int | None = None,
 ) -> DataFrame:
-    """mentions -> directed instance rows (one per candidate pair)."""
+    """mentions -> directed instance rows (one per candidate pair).
+
+    repartition: round-robin repartition the JOINED rows BEFORE the
+    direction explode (r7). The scoring stage pins its parallelism with
+    a repartition anyway (see pipeline.py); doing it pre-explode keeps
+    a cross-turn pair's two directed instances ADJACENT in one
+    partition — they tokenize to the same id sequence (the encoder
+    order-normalizes spans), so the encode kernel's per-batch memo pays
+    the per-row string work once per pair instead of once per
+    direction. A post-explode round-robin would send the twins to
+    different partitions."""
     a = mentions.alias("a")
     b = mentions.alias("b")
     ac, bc = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
@@ -54,6 +66,9 @@ def candidate_pairs(
         & ~((ac("turn_idx") == bc("turn_idx")) & (ac("begin") == bc("begin"))),
         "inner",
     )
+
+    if repartition is not None:
+        joined = joined.repartition(repartition)
 
     same_turn = ac("turn_idx") == bc("turn_idx")
     off = F.length(ac("text")) + F.lit(1)

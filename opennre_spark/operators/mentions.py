@@ -89,11 +89,16 @@ def detect_mentions(transcripts: DataFrame, gazetteer: list) -> DataFrame:
             if not ridx:
                 continue
             take = pa.array(ridx, type=pa.int32())
+            # ADVICE r6: cast the forwarded input columns to the declared
+            # MENTION_SCHEMA Arrow types — the old mapInPandas path
+            # silently coerced (e.g. a bigint turn_idx), the raw forward
+            # raised an Arrow schema mismatch instead; pc.cast restores
+            # the input tolerance (no-op when types already match)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pc.take(rb.column("conv_id"), take),
-                    pc.take(rb.column("turn_idx"), take),
-                    pc.take(rb.column("text"), take),
+                    pc.cast(pc.take(rb.column("conv_id"), take), pa.string()),
+                    pc.cast(pc.take(rb.column("turn_idx"), take), pa.int32()),
+                    pc.cast(pc.take(rb.column("text"), take), pa.string()),
                     pa.array(eids, type=pa.string()),
                     pa.array(names, type=pa.string()),
                     pa.array(begins, type=pa.int32()),

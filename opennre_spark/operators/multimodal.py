@@ -1,6 +1,7 @@
 """Multimodal columns for training-data pipelines: image/audio/video as
 opaque `binary` payloads with typed metadata, processed by Arrow-batched
-kernels over mapInPandas.
+kernels over mapInArrow (r7: converted from mapInPandas — no pandas
+row/object materialization on either side of the boundary).
 
 The image/audio decode libraries are NOT in this container, so the
 decode step is STUBBED behind `decode_stub` — a deterministic fake
@@ -17,7 +18,6 @@ import hashlib
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -63,27 +63,59 @@ def _payload_bytes(seed: int, mid: int) -> bytes:
 
 def synthetic_media(spark: SparkSession, n: int, seed: int = 5) -> DataFrame:
     """Deterministic fake media table: payload bytes are a pure function
-    of (media_id, seed) — generated distributed, never on the driver."""
+    of (media_id, seed) — generated distributed, never on the driver.
+    mapInArrow (r7, VERDICT r6 #4): same bytes, no pandas row/dict
+    materialization on the way out."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
         kinds = ["image", "audio", "video"]
-        for pdf in batches:
-            rows = []
-            for mid in pdf["id"]:
-                mid = int(mid)
-                kind = kinds[mid % 3]
-                payload = _payload_bytes(seed, mid)
-                meta = {
-                    "width": 64 + (mid % 4) * 32 if kind != "audio" else None,
-                    "height": 64 + (mid % 3) * 32 if kind != "audio" else None,
-                    "channels": 3 if kind == "image" else None,
-                    "sample_rate": 16000 if kind == "audio" else None,
-                    "n_frames": 1 + mid % 30 if kind == "video" else None,
-                }
-                rows.append((mid, kind, payload, meta))
-            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+        for rb in batches:
+            mids = [int(m) for m in rb.column("id").to_pylist()]
+            if not mids:
+                continue
+            kind = [kinds[m % 3] for m in mids]
+            payloads = [_payload_bytes(seed, m) for m in mids]
+            meta = pa.StructArray.from_arrays(
+                [
+                    pa.array(
+                        [64 + (m % 4) * 32 if k != "audio" else None
+                         for m, k in zip(mids, kind)],
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        [64 + (m % 3) * 32 if k != "audio" else None
+                         for m, k in zip(mids, kind)],
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        [3 if k == "image" else None for k in kind],
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        [16000 if k == "audio" else None for k in kind],
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        [1 + m % 30 if k == "video" else None
+                         for m, k in zip(mids, kind)],
+                        type=pa.int32(),
+                    ),
+                ],
+                names=["width", "height", "channels", "sample_rate", "n_frames"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, type=pa.int64()),
+                    pa.array(kind, type=pa.string()),
+                    pa.array(payloads, type=pa.binary()),
+                    meta,
+                ],
+                names=["media_id", "kind", "payload", "meta"],
+            )
 
-    return spark.range(0, n, numPartitions=8).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spark.range(0, n, numPartitions=8).mapInArrow(gen, schema=MEDIA_SCHEMA)
 
 
 def decode_stub(payload: bytes) -> np.ndarray:
@@ -120,19 +152,28 @@ def extract_features(media: DataFrame) -> DataFrame:
     work is vectorized per batch where the decode allows). Narrow — no
     shuffle; runs wherever the media rows live."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [decode_stub(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "kind": pdf["kind"],
-                    "features": feats,
-                    "n_bytes": pdf["payload"].map(len).astype("int32"),
-                }
+    def run(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .scoring import _list_f32
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            pay = rb.column("payload")
+            feats = np.stack([decode_stub(v.as_py()) for v in pay])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(rb.column("media_id"), pa.int64()),
+                    rb.column("kind"),
+                    _list_f32(feats),
+                    pc.cast(pc.binary_length(pay), pa.int32()),
+                ],
+                names=["media_id", "kind", "features", "n_bytes"],
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    return media.select("media_id", "kind", "payload").mapInArrow(
         run, schema=FEATURES_SCHEMA
     )
 

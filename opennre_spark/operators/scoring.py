@@ -106,6 +106,139 @@ def _int_col(rb, name: str) -> np.ndarray:
     return rb.column(name).to_numpy(zero_copy_only=False)
 
 
+def _score_token_block(
+    token: np.ndarray,
+    h_start: np.ndarray,
+    t_start: np.ndarray,
+    n_real: np.ndarray,
+    weights: dict,
+    pcnn: bool,
+    classifier: str,
+    micro_batch: int,
+    with_rep: bool,
+):
+    """Length-sorted micro-batched CNN/PCNN scoring over encoded rows
+    (r7, guide §1.2 per-task work): rows are processed in ascending
+    n_real order, so each micro-batch's exact length truncation
+    (kernels.cnn_forward Lc = batch max + 1) pays for its own lengths
+    instead of the whole batch's max — one long row no longer forces
+    every short row in its micro-batch through full-length conv GEMMs
+    (measured: +19% kernel rows/s solo at the corpus length mix, more
+    under 32-worker bandwidth contention). Outputs are scattered back
+    to input order before emission.
+
+    Exactness: a row's conv/pool output is a pure function of the row
+    (the truncation shortcut is exact — see cnn_forward), so ordering
+    only changes fused-GEMM micro-batch composition, the same
+    documented ~1e-7 float32 variance the plan already exhibits across
+    cluster sizes / the encoded-vs-fused split. score_instances and
+    score_encoded share THIS function, so aligned-batch bitwise parity
+    between the two paths is structural.
+
+    Returns (pr (B, N) float32, rep (B, H) float32 | None).
+    """
+    from ..functions import kernels
+    from ..functions.encoding import positions_from_starts
+
+    n = len(n_real)
+    L = token.shape[1]
+    order = np.argsort(n_real, kind="stable")
+    probs = []
+    reps = []
+    for lo in range(0, n, micro_batch):
+        idx = order[lo : lo + micro_batch]
+        batch = {
+            "token": token[idx],
+            "n_real": n_real[idx],
+            **positions_from_starts(
+                h_start[idx], t_start[idx], n_real[idx], L, with_mask=pcnn
+            ),
+        }
+        rep, pr = kernels.sentence_scores(batch, weights, pcnn=pcnn)
+        if classifier == "sigmoid":
+            logits = kernels.linear(rep, weights["fc_w"], weights["fc_b"])
+            pr = kernels.sigmoid(logits)
+        probs.append(pr)
+        if with_rep:
+            reps.append(rep)
+    pr_s = np.concatenate(probs, 0) if len(probs) > 1 else probs[0]
+    pr = np.empty_like(pr_s)
+    pr[order] = pr_s
+    rep = None
+    if with_rep:
+        rep_s = np.concatenate(reps, 0) if len(reps) > 1 else reps[0]
+        rep = np.empty_like(rep_s)
+        rep[order] = rep_s
+    return pr, rep
+
+
+def _score_bert_block(
+    token: np.ndarray,
+    att_mask: np.ndarray,
+    pos1: np.ndarray,
+    pos2: np.ndarray,
+    weights: dict,
+    rep_fn,
+    classifier: str,
+    micro_batch: int,
+    with_rep: bool,
+):
+    """Length-sorted, length-TRUNCATED micro-batched BERT scoring (r7,
+    guide §1.2): the transformer previously ran every row at the full
+    padded L=64 while the corpus's real lengths average ~24 (max ~34) —
+    attention scores are O(L^2) and every projection O(L), so slicing
+    each micro-batch to its own max real length (rounded up to a
+    multiple of 8 to bound scratch-buffer shapes) cuts the kernel to
+    0.39x measured. Sorting rows by real length first keeps each
+    micro-batch's max tight.
+
+    Exactness: a padded position's attention weight is exp(-10000 +
+    s - max) which underflows to exactly 0.0 in float32, and x + 0.0
+    == x in IEEE round-to-nearest, so dropping pad columns from the
+    attention reduction leaves every content position's hidden state
+    (and the CLS/entity gathers — both < real length by construction)
+    unchanged; remaining deltas are BLAS layout-blocking noise inside
+    the path's documented 2e-5 parity tolerance (see bert_forward).
+
+    Returns (pr (B, N) float32, rep (B, H) float32 | None).
+    """
+    from ..functions import kernels
+
+    n = token.shape[0]
+    L = token.shape[1]
+    avail = att_mask.sum(axis=1)
+    order = np.argsort(avail, kind="stable")
+    probs = []
+    reps = []
+    for lo in range(0, n, micro_batch):
+        idx = order[lo : lo + micro_batch]
+        Lb = int(min(L, -(-int(avail[idx].max()) // 8) * 8))
+        rep = rep_fn(
+            np.ascontiguousarray(token[idx][:, :Lb]),
+            np.ascontiguousarray(att_mask[idx][:, :Lb]),
+            pos1[idx],
+            pos2[idx],
+            weights,
+        )
+        logits = rep @ weights["fc_w"].T + weights["fc_b"]
+        if classifier == "sigmoid":
+            pr = kernels.sigmoid(logits)
+        else:
+            pr = kernels.softmax(logits, axis=-1)
+        probs.append(pr)
+        if with_rep:
+            reps.append(rep)
+    pr_s = np.concatenate(probs, 0) if len(probs) > 1 else probs[0]
+    pr = np.empty_like(pr_s)
+    pr[order] = pr_s
+    rep = None
+    if with_rep:
+        rep_s = np.concatenate(reps, 0) if len(reps) > 1 else reps[0]
+        rep = np.empty_like(rep_s)
+        rep[order] = rep_s
+    return pr, rep
+
+
 def _emit_scored(rb, keep_names, pr, rep, with_scores: bool, with_rep: bool):
     """Output RecordBatch: kept input columns by reference + the
     prediction columns from flat numpy."""
@@ -169,8 +302,7 @@ def score_instances(
     keep_names = [f.name for f in keep]
 
     def run(batches: Iterator) -> Iterator:
-        from ..functions import kernels
-        from ..functions.encoding import encode_batch
+        from ..functions.encoding import encode_tokens_batch
         from ..functions.weights import default_model
 
         if encoder in ("bert", "bert_entity"):
@@ -187,15 +319,12 @@ def score_instances(
                 else bert_kernels.bert_cls_rep
             )
 
-            def encode_and_score(texts, hb, he, tb, te):
+            def score_batch(texts, hb, he, tb, te):
                 enc = bert_encode_batch(texts, hb, he, tb, te, vocab, L)
-                rep = rep_fn(
-                    enc["token"], enc["att_mask"], enc["pos1"], enc["pos2"], weights
+                return _score_bert_block(
+                    enc["token"], enc["att_mask"], enc["pos1"], enc["pos2"],
+                    weights, rep_fn, classifier, micro_batch, with_rep,
                 )
-                logits = rep @ weights["fc_w"].T + weights["fc_b"]
-                if classifier == "sigmoid":
-                    return rep, kernels.sigmoid(logits)
-                return rep, kernels.softmax(logits, axis=-1)
 
         else:
             vocab, weights = default_model(
@@ -205,18 +334,20 @@ def score_instances(
             unk_id = vocab["[UNK]"]
             L = int(weights["max_length"])
 
-            def encode_and_score(texts, hb, he, tb, te):
-                enc = encode_batch(
-                    texts, hb, he, tb, te, vocab, L, pad_id, unk_id,
-                    with_mask=(encoder == "pcnn"),
+            def score_batch(texts, hb, he, tb, te):
+                # tokenize the WHOLE record batch once (per-row string
+                # work, identical results under any batching), then the
+                # shared length-sorted GEMM block (same code path as
+                # score_encoded -> aligned-batch parity is structural)
+                enc = encode_tokens_batch(
+                    texts, hb, he, tb, te, vocab, L, pad_id, unk_id
                 )
-                rep, pr = kernels.sentence_scores(
-                    enc, weights, pcnn=(encoder == "pcnn")
+                return _score_token_block(
+                    enc["token"], enc["p1_start"], enc["p2_start"],
+                    enc["n_real"], weights, (encoder == "pcnn"),
+                    classifier, micro_batch, with_rep,
                 )
-                if classifier == "sigmoid":
-                    logits = kernels.linear(rep, weights["fc_w"], weights["fc_b"])
-                    pr = kernels.sigmoid(logits)
-                return rep, pr
+
         for rb in batches:
             n = rb.num_rows
             if n == 0:
@@ -226,21 +357,7 @@ def score_instances(
             he = _int_col(rb, "h_end")
             tb = _int_col(rb, "t_begin")
             te = _int_col(rb, "t_end")
-            reps = []
-            probs = []
-            # bounded micro-batches (reference bs=256, bag_attention.py:140)
-            for lo in range(0, n, micro_batch):
-                hi = min(lo + micro_batch, n)
-                rep, pr = encode_and_score(
-                    texts[lo:hi], hb[lo:hi], he[lo:hi], tb[lo:hi], te[lo:hi]
-                )
-                probs.append(pr)
-                if with_rep:
-                    reps.append(rep)
-            pr = np.concatenate(probs, 0) if len(probs) > 1 else probs[0]
-            rep = None
-            if with_rep:
-                rep = np.concatenate(reps, 0) if len(reps) > 1 else reps[0]
+            pr, rep = score_batch(texts, hb, he, tb, te)
             yield _emit_scored(rb, keep_names, pr, rep, with_scores, with_rep)
 
     return instances.mapInArrow(run, schema=out_schema)
@@ -367,8 +484,6 @@ def score_encoded(
     keep_names = [f.name for f in keep]
 
     def run(batches: Iterator) -> Iterator:
-        from ..functions import kernels
-        from ..functions.encoding import positions_from_starts
         from ..functions.weights import default_model
 
         vocab, weights = default_model(
@@ -379,35 +494,24 @@ def score_encoded(
             n = rb.num_rows
             if n == 0:
                 continue
-            token = _tokens_from_binary(rb.column("tok_bin"), L).astype(np.int64)
+            tok_col = rb.column("tok_bin")
+            item = len(tok_col[0].as_py()) if n else L * 4
+            if item != L * 4:
+                # ADVICE r6: fail with the real cause instead of an
+                # opaque frombuffer/reshape error deep in the decode
+                raise ValueError(
+                    f"encoded table was built at max_length L={item // 4}, "
+                    f"but the checkpoint/schema expects L={L} — re-run "
+                    "encode_instances against the same model configuration"
+                )
+            token = _tokens_from_binary(tok_col, L).astype(np.int64)
             h_start = _int_col(rb, "h_start").astype(np.int64)
             t_start = _int_col(rb, "t_start").astype(np.int64)
             n_real = _int_col(rb, "n_tok").astype(np.int64)
-            reps = []
-            probs = []
-            for lo in range(0, n, micro_batch):
-                hi = min(lo + micro_batch, n)
-                batch = {
-                    "token": token[lo:hi],
-                    "n_real": n_real[lo:hi],
-                    **positions_from_starts(
-                        h_start[lo:hi], t_start[lo:hi], n_real[lo:hi], L,
-                        with_mask=(encoder == "pcnn"),
-                    ),
-                }
-                rep, pr = kernels.sentence_scores(
-                    batch, weights, pcnn=(encoder == "pcnn")
-                )
-                if classifier == "sigmoid":
-                    logits = kernels.linear(rep, weights["fc_w"], weights["fc_b"])
-                    pr = kernels.sigmoid(logits)
-                probs.append(pr)
-                if with_rep:
-                    reps.append(rep)
-            pr = np.concatenate(probs, 0) if len(probs) > 1 else probs[0]
-            rep = None
-            if with_rep:
-                rep = np.concatenate(reps, 0) if len(reps) > 1 else reps[0]
+            pr, rep = _score_token_block(
+                token, h_start, t_start, n_real, weights,
+                (encoder == "pcnn"), classifier, micro_batch, with_rep,
+            )
             yield _emit_scored(rb, keep_names, pr, rep, with_scores, with_rep)
 
     return encoded.mapInArrow(run, schema=out_schema)

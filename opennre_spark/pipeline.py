@@ -58,17 +58,20 @@ def encode_candidates(
     in extract_triples).
     """
     mentions = detect_mentions(transcripts, relations.gazetteer())
-    instances = candidate_pairs(mentions, window_turns=window_turns)
+    spark = transcripts.sparkSession
+    n_score_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
+    # r7: the scoring-parallelism repartition moved BEFORE the direction
+    # explode (inside candidate_pairs) so a pair's two directed
+    # instances stay adjacent for the encode kernel's tokenize memo —
+    # see candidate_pairs(repartition=...)
+    instances = candidate_pairs(
+        mentions, window_turns=window_turns, repartition=n_score_parts
+    )
     scoring_cols = [
         "text", "h_begin", "h_end", "t_begin", "t_end", "h_id", "t_id",
         "conv_id", "turn_idx", "pair_turn_idx",
     ]
-    spark = transcripts.sparkSession
-    n_score_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
-    return encode_instances(
-        instances.select(*scoring_cols).repartition(n_score_parts),
-        schema=schema,
-    )
+    return encode_instances(instances.select(*scoring_cols), schema=schema)
 
 
 def extract_triples(
@@ -118,6 +121,15 @@ def extract_triples(
             raise ValueError("encoded= and dedup_scoring are mutually exclusive")
         if encoder not in ("cnn", "pcnn"):
             raise ValueError("encoded= supports the cnn/pcnn encoders only")
+        if window_turns != config.PAIR_WINDOW_TURNS:
+            # ADVICE r6: the candidate window was fixed when the encoded
+            # table was built — a non-default window_turns here would be
+            # silently ignored, yielding a wrong candidate set
+            raise ValueError(
+                "window_turns has no effect with encoded=: the candidate "
+                "window was fixed at encode_candidates time — pass "
+                "window_turns to encode_candidates instead"
+            )
         # Column hygiene on the pre-encoded table: sentence mode needs
         # only the pair ids; bag modes add the stable-ordering key.
         enc_cols = ["h_id", "t_id", "tok_bin", "h_start", "t_start", "n_tok"]
@@ -132,25 +144,29 @@ def extract_triples(
 
     else:
         mentions = detect_mentions(transcripts, relations.gazetteer())
-        instances = candidate_pairs(mentions, window_turns=window_turns)
         # Scoring is CPU-bound Python (numpy kernels), ~40us/row but only
         # ~200 bytes/row: AQE's byte-based partition coalescing would fuse
         # it into a handful of post-join partitions and starve the
         # executors (measured 2.2x slowdown at local[32]). A round-robin
         # repartition pins the scoring stage's parallelism to the cluster
         # size; the shuffled payload (instance text) is tiny next to the
-        # scoring cost.
-        # Column hygiene before the shuffle + the Python boundary: sentence
-        # mode only needs the pair ids downstream; bag modes additionally
-        # need the stable-ordering key (conv, turns, spans). Everything else
-        # (names, end offsets) dies here instead of riding the repartition
-        # exchange and two Arrow crossings.
+        # scoring cost. r7: the repartition sits BEFORE the direction
+        # explode (candidate_pairs(repartition=...)) so direction twins
+        # stay adjacent for the encode kernel's tokenize memo.
+        # Column hygiene before the Python boundary: sentence mode only
+        # needs the pair ids downstream; bag modes additionally need the
+        # stable-ordering key (conv, turns, spans). Everything else
+        # (names, end offsets) dies here instead of riding two Arrow
+        # crossings.
+        n_score_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
+        instances = candidate_pairs(
+            mentions, window_turns=window_turns,
+            repartition=None if dedup_scoring else n_score_parts,
+        )
         scoring_cols = ["text", "h_begin", "h_end", "t_begin", "t_end", "h_id", "t_id"]
         if mode != "sentence":
             scoring_cols += ["conv_id", "turn_idx", "pair_turn_idx"]
         instances = instances.select(*scoring_cols)
-
-        n_score_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
 
         def scored_with(**kw):
             """Score each DISTINCT (text, spans) once and join results back
@@ -162,9 +178,9 @@ def extract_triples(
             corpus -> the join costs more than the scoring it saves; flip on
             for corpora with heavy boilerplate)."""
             if not dedup_scoring:
+                # already repartitioned pre-explode (see above)
                 return score_instances(
-                    instances.repartition(n_score_parts),
-                    schema=schema, encoder=encoder, ckpt=ckpt, **kw,
+                    instances, schema=schema, encoder=encoder, ckpt=ckpt, **kw,
                 )
             key = ["text", "h_begin", "h_end", "t_begin", "t_end"]
             uniq = (

@@ -196,11 +196,18 @@ def test_bag_scores_batched_identical(spark, transcripts):
     scored.unpersist()
 
 
-def test_bag_cap_prebound_under_aggregation(spark):
-    """bag_cap > 0 must bound the collect_list buffer BEFORE assembly
-    (VERDICT r2 #3): the plan shows the row_number filter beneath the
-    aggregate, and the window's (h_id, t_id) hash partitioning is
-    reused by the groupBy — exactly one exchange on the bag key."""
+def test_bag_plan_no_aggregation_buffer(spark):
+    """The r7 bag-assembly plan (VERDICT r2 #3 memory bound, restated):
+    bag members must never accumulate in a JVM aggregation buffer — the
+    r6 collect_list shape concentrated multi-GB of rep rows into a few
+    thousand bags' ObjectHashAggregate state. The plan is now exactly
+    ONE hash exchange on the bag key, a spill-safe external Sort by
+    (bag key + stable member key), and the streaming mapInArrow kernel:
+    no Aggregate, no Window, no collect_list anywhere. The bag_cap
+    memory bound got STRONGER: capped rows are dropped as they stream
+    in Python (bitwise-equal member selection to the r6 row_number
+    filter over the same ordering — test_bag_batched_matches_pandas
+    pins value equality)."""
     import contextlib
     import io
 
@@ -221,27 +228,24 @@ def test_bag_cap_prebound_under_aggregation(spark):
     with contextlib.redirect_stdout(buf):
         bags.explain("formatted")
     plan = buf.getvalue()
-    assert "row_number" in plan, plan
-    # formatted details number nodes leaf-first: a smaller number runs
-    # earlier. Spark 4 rewrites the rank filter into WindowGroupLimit
-    # with a Partial phase BEFORE the exchange — the cap enforces
-    # itself map-side, pre-shuffle (stronger than the
-    # filter-under-aggregate minimum the design asks for).
     import re
+
+    # formatted output lists each node once in the tree and once in the
+    # numbered details — count the numbered nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(h_id" in plan, plan
+    assert "collect_list" not in plan, plan
+    assert "Aggregate" not in plan, plan
 
     def node_num(pattern):
         m = re.search(r"\((\d+)\) " + pattern, plan)
         assert m, f"{pattern!r} not in plan:\n{plan}"
         return int(m.group(1))
 
-    partial_limit = node_num(
-        r"WindowGroupLimit\nInput[^\n]*\nArguments:[^\n]*Partial"
-    )
-    exchange = node_num(r"Exchange\n")
-    filt = node_num(r"Filter\nInput[^\n]*\nCondition : \(__rn")
-    agg = node_num(r"\w*Aggregate\n")
-    assert partial_limit < exchange, plan
-    assert filt < agg, plan
+    # leaf-first numbering: exchange -> sort -> python kernel
+    assert node_num(r"Exchange\n") < node_num(r"Sort\n") < node_num(
+        r"MapInArrow\n"
+    ), plan
     # one exchange on the bag key total: the window's partitioning is
     # reused by the groupBy
     assert plan.count("hashpartitioning(h_id") == 1, plan
