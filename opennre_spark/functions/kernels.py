@@ -130,11 +130,24 @@ def _conv_slabs(token, pos1, pos2, weights, Lc: int, slab: int = _CONV_SLAB):
     psz = p1e.shape[1]
     X = _scratch("conv_X", (slab, Lc, K * C + 1))
     X[:, :, K * C] = 1.0  # bias column
+    feat = _scratch("conv_feat", (slab, Lc, C))
     out = _scratch("conv_out", (slab, Lc, H))
     for lo in range(0, B, slab):
         hi = min(lo + slab, B)
         S = hi - lo
         sX = X[:S]
+        # r7: gather the [word; pos1; pos2] features ONCE per slab into
+        # a contiguous block, then assemble the K shifted im2col slices
+        # as sequential copies — the per-shift fancy-index gathers (K x
+        # 3 random-access table lookups) were ~half the non-GEMM kernel
+        # time. Every shifted window only touches tokens 0..Lc-1 (edge
+        # windows are zero-padded), so the single block covers all K
+        # shifts. Identical float values land in X -> the fused GEMM
+        # input, and therefore every score, is bitwise unchanged.
+        sfeat = feat[:S]
+        sfeat[:, :, :wsz] = we[token[lo:hi, :Lc]]
+        sfeat[:, :, wsz : wsz + psz] = p1e[pos1[lo:hi, :Lc]]
+        sfeat[:, :, wsz + psz :] = p2e[pos2[lo:hi, :Lc]]
         for k in range(K):
             off = k - (K - 1) // 2  # window t covers tokens t+off
             dst = sX[:, :, k * C : (k + 1) * C]
@@ -144,11 +157,7 @@ def _conv_slabs(token, pos1, pos2, weights, Lc: int, slab: int = _CONV_SLAB):
                 dst[:, :lo_t, :] = 0.0
             elif off > 0:
                 dst[:, hi_t:, :] = 0.0
-            src = slice(lo_t + off, hi_t + off)
-            d = dst[:, lo_t:hi_t]
-            d[:, :, :wsz] = we[token[lo:hi, src]]
-            d[:, :, wsz : wsz + psz] = p1e[pos1[lo:hi, src]]
-            d[:, :, wsz + psz :] = p2e[pos2[lo:hi, src]]
+            dst[:, lo_t:hi_t] = sfeat[:, lo_t + off : hi_t + off]
         sout = out[:S]
         np.matmul(sX.reshape(S * Lc, K * C + 1), Wb, out=sout.reshape(S * Lc, H))
         yield lo, hi, sout

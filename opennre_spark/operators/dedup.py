@@ -35,15 +35,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _token_shingles(text_col: str, n: int = 3):
-    """Distinct n-token shingles (lowercased, whitespace tokens)."""
+    """Distinct n-token shingles (lowercased, whitespace tokens).
+
+    The token array is hof_let-bound (see operators/hof.py): referencing
+    the split expression inside the transform lambda re-evaluates the
+    regex split once PER SHINGLE POSITION under interpreted HOF
+    evaluation — measured 33.4s -> 2.3s for the sf1.0 dup view (14x)
+    with identical output."""
+    from .hof import hof_let
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    m = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(m - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            starts,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    return hof_let(
+        toks,
+        lambda tv: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(tv) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(tv, i + 1, n)),
+            )
+        ),
     )
 
 
@@ -67,35 +76,52 @@ def minhash_signatures(
     """
     import random
 
+    from .hof import hof_let
+
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
     rows_per_band = num_hashes // num_bands
 
-    df = docs.select(id_col, _token_shingles(text_col, shingle_n).alias("__sh"))
-    df = df.withColumn(
-        "__hv", F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MAX)))
+    # r7 (guide §1.2 per-task work): the signature columns used to
+    # reference a `__hv` withColumn — projection collapse inlined the
+    # shingle+hash array into all num_hashes consumers, and HOFs are
+    # CodegenFallback (no CSE), so the whole array was re-evaluated
+    # num_hashes times per row (measured: 45s of the 77s
+    # dedup_minhash_pairs wall at sf1.0). hof_let binds the hashed
+    # shingle array ONCE, then the signature vector and every band hash
+    # read the bound value. Identical arithmetic -> identical
+    # signatures and band hashes (oracle rows unchanged).
+    hv_expr = F.transform(
+        _token_shingles(text_col, shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MAX)),
     )
 
-    def _affine(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
-
-    sig = [
-        F.array_min(F.transform("__hv", _affine(a, b))).alias(f"__m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    df = df.select(id_col, *sig)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"__m{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
+    def bands_of(hv):
+        def sig_of(a: int, b: int):
+            return F.array_min(
+                F.transform(hv, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
             )
-            for bi in range(num_bands)
-        ]
-    )
-    return df.select(id_col, F.explode(bands).alias("b")).select(
+
+        return hof_let(
+            F.array(*[sig_of(a, b) for a, b in coeffs]),
+            lambda sig: F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(sig, bi * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(num_bands)
+                ]
+            ),
+        )
+
+    df = docs.select(id_col, hof_let(hv_expr, bands_of).alias("__bands"))
+    return df.select(id_col, F.explode("__bands").alias("b")).select(
         id_col, "b.band", "b.band_hash"
     )
 
@@ -128,9 +154,20 @@ def minhash_dup_pairs(
     sh_tbl = docs.select(
         F.col(id_col), _token_shingles(text_col, shingle_n).alias("__sh")
     )
+    sh_hint = lambda d: d  # noqa: E731
     if materialize:
+        from .linking import broadcast_hint_if_small
+
         sigs = sigs.localCheckpoint(eager=True)
-        sh_tbl = sh_tbl.localCheckpoint(eager=True)
+        # r7 (guide §3.1): the verification join-back used to hash-
+        # partition every candidate PAIR row by id to meet the shuffled
+        # shingle table — at sf1.0 that shipped ~600B of shingle array
+        # per pair side through two exchanges. The (id -> shingles)
+        # table is tiny relative to the candidate set (one row per doc),
+        # so a size-gated broadcast removes both pair shuffles; past the
+        # probe limit (real 100 TB corpora) it degrades to the shuffled
+        # join unchanged.
+        sh_tbl, sh_hint = broadcast_hint_if_small(sh_tbl, limit_rows=200_000)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -146,10 +183,14 @@ def minhash_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     cand = cand.join(
-        sh_tbl.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),
+        sh_hint(
+            sh_tbl.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+        ),
         "id_a",
     ).join(
-        sh_tbl.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
+        sh_hint(
+            sh_tbl.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+        ),
         "id_b",
     )
     jac = (
@@ -283,17 +324,47 @@ def ngram_jaccard_pairs(
             F.col("__rnk")
             <= F.col("__sz") - F.ceil(F.lit(jaccard_threshold) * F.col("__sz")) + 1
         )
-        .select(id_col, "__s")
+        .select(id_col, "__s", "__sz", "__rnk")
     )
+    sh_hint = lambda d: d  # noqa: E731
     if materialize:
+        from .linking import broadcast_hint_if_small
+
         prefix = prefix.localCheckpoint(eager=True)
-        sh_tbl = sh_tbl.localCheckpoint(eager=True)
+        # size-gated broadcast of the (id -> shingles) verification
+        # payload — see minhash_dup_pairs; measured at sf1.0 this join
+        # otherwise shuffles ~600 B of array per candidate-pair side
+        # for 13.2M distinct candidates
+        sh_tbl, sh_hint = broadcast_hint_if_small(sh_tbl, limit_rows=200_000)
     a, b = prefix.alias("a"), prefix.alias("b")
+    # r7: PPJoin length + positional filters INSIDE the join condition
+    # (guide §2.3 — shuffle/dedup fewer candidate rows). Both are exact
+    # (no false negative): J >= t forces min(|A|,|B|) >= t*max(|A|,|B|),
+    # and for the FIRST prefix shingle two docs share (positions rnk_a,
+    # rnk_b under the common global order) every common shingle sits at
+    # or after it in both docs, so |A ∩ B| <= min(|A|-rnk_a, |B|-rnk_b)
+    # + 1, which J >= t requires to reach ceil(t/(1+t)*(|A|+|B|)). A
+    # qualifying pair always survives via its first shared prefix
+    # shingle; later shared shingles may be pruned, which only removes
+    # duplicate candidate rows. The 1e-9 slack keeps double rounding at
+    # exact-threshold boundaries from ever pruning a passer.
+    sza = F.col("a.__sz").cast("double")
+    szb = F.col("b.__sz").cast("double")
+    size_ok = F.least(sza, szb) >= (
+        F.lit(jaccard_threshold) * F.greatest(sza, szb) - F.lit(1e-9)
+    )
+    alpha = F.lit(jaccard_threshold / (1.0 + jaccard_threshold)) * (sza + szb)
+    pos_ok = (
+        F.least(sza - F.col("a.__rnk"), szb - F.col("b.__rnk")) + 1
+        >= alpha - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.__s") == F.col("b.__s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & size_ok
+            & pos_ok,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -302,10 +373,14 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     cand = cand.join(
-        sh_tbl.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),
+        sh_hint(
+            sh_tbl.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+        ),
         "id_a",
     ).join(
-        sh_tbl.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
+        sh_hint(
+            sh_tbl.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+        ),
         "id_b",
     )
     jac = (
@@ -333,9 +408,16 @@ def simhash(
     oracle-checkable TEST-GATE configuration, same pattern as the
     single-bit-band LSH configs; heavier per token, identical
     semantics and identical banding/verification downstream)."""
+    from .hof import hof_let
+
     # Per-bit masks as int64 literals (pyspark's shiftright/shiftleft
     # accept only Python-int shift amounts, not a lambda variable).
     # Bit 63's mask is the sign bit: -(2**63) in two's complement.
+    # r7: the per-token hash is hof_let-bound — the vote transform used
+    # to inline it, re-evaluating xxhash64 (or the md5+conv pair) once
+    # PER MASK BIT under interpreted HOF evaluation: 64 hash calls per
+    # token (measured: the dominant cost of dedup_simhash_pairs at
+    # sf1.0). Identical votes, identical packed simhash.
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
     mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
 
@@ -345,27 +427,36 @@ def simhash(
         # the same construction)
         m32 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
 
+        def bits_of(w):
+            return F.transform(
+                m32,
+                lambda m: F.when(w.bitwiseAND(m) != 0, F.lit(1))
+                .otherwise(F.lit(-1)),
+            )
+
         def token_votes(t):
-            wa = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-            wb = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
-
-            def bits_of(w):
-                return F.transform(
-                    m32,
-                    lambda m: F.when(w.bitwiseAND(m) != 0, F.lit(1))
-                    .otherwise(F.lit(-1)),
-                )
-
-            return F.concat(bits_of(wa), bits_of(wb))
+            return hof_let(
+                F.md5(t),
+                lambda hx: hof_let(
+                    F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+                    lambda wa: hof_let(
+                        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long"),
+                        lambda wb: F.concat(bits_of(wa), bits_of(wb)),
+                    ),
+                ),
+            )
 
     elif token_hash == "xxhash64":
 
         def token_votes(t):
-            return F.transform(
-                mask_arr,
-                lambda m: F.when(
-                    F.xxhash64(t).bitwiseAND(m) != 0, F.lit(1)
-                ).otherwise(F.lit(-1)),
+            return hof_let(
+                F.xxhash64(t),
+                lambda h: F.transform(
+                    mask_arr,
+                    lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    ),
+                ),
             )
 
     else:
@@ -433,7 +524,14 @@ def simhash_dup_pairs(
     EXACT blocking, so the banded output equals the brute-force
     all-pairs truth by construction), verify with bit_count(xor).
     Returns (id_a, id_b, hamming). token_hash: see simhash."""
-    sh = simhash(docs, id_col, text_col, token_hash=token_hash)
+    # r7: materialize the tiny (id, simhash) table — Catalyst plans the
+    # band self-join's two sides as independent subtrees, so without
+    # this the whole per-token vote pipeline (and the docs lineage
+    # beneath it) executes twice (measured 2x the 21.6s signature wall
+    # at sf1.0 for 16 bytes/doc of actual state)
+    sh = simhash(docs, id_col, text_col, token_hash=token_hash).localCheckpoint(
+        eager=True
+    )
     bands = sh.select(
         id_col,
         "simhash",
@@ -452,20 +550,24 @@ def simhash_dup_pairs(
         ).alias("b"),
     ).select(id_col, "simhash", "b.band", "b.band_bits")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # r7 first-matching-band dedup (same rework as similarity.
+    # ann_self_join): both sides carry the full simhash, so a matched
+    # row survives only when every EARLIER band differs — each
+    # colliding pair is emitted exactly once and the dropDuplicates
+    # exchange over the candidate rows disappears. Identical pair set.
+    from .similarity import _first_band_match
+
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first_match = _first_band_match(xor, F.col("a.band"), 16, 4)
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_bits") == F.col("b.band_bits"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & first_match,
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.bit_count(xor).alias("hamming"),
     )
     return cand.filter(F.col("hamming") <= F.lit(max_hamming))

@@ -61,36 +61,50 @@ def shingle_minhash(
     """
     import random
 
+    from .hof import hof_let
+
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
     rows_per_band = num_hashes // num_bands
 
-    df = names.withColumn("__sh", _char_shingles(name_col, k))
-    # per-shingle base hash once, then each of the num_hashes affine maps
-    df = df.withColumn(
-        "__hv", F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MAX)))
+    # per-shingle base hash ONCE (hof_let — see operators/hof.py: HOFs
+    # are interpreted, so the former `__hv` withColumn was re-evaluated
+    # per signature column after projection collapse), then each of the
+    # num_hashes affine maps over the bound value
+    hv_expr = F.transform(
+        _char_shingles(name_col, k),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MAX)),
     )
-    def _affine(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
 
-    sig_cols = [
-        F.array_min(F.transform("__hv", _affine(a, b))).alias(f"__m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    df = df.select(name_col, *sig_cols)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"__m{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
+    def bands_of(hv):
+        def sig_of(a: int, b: int):
+            return F.array_min(
+                F.transform(hv, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
             )
-            for bi in range(num_bands)
-        ]
+
+        return hof_let(
+            F.array(*[sig_of(a, b) for a, b in coeffs]),
+            lambda sig: F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(sig, bi * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(num_bands)
+                ]
+            ),
+        )
+
+    df = names.select(
+        F.col(name_col), hof_let(hv_expr, bands_of).alias("__bands")
     )
     return df.select(
-        name_col, F.explode(bands).alias("b")
+        name_col, F.explode("__bands").alias("b")
     ).select(name_col, "b.band", "b.band_hash")
 
 

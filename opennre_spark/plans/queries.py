@@ -1170,21 +1170,36 @@ def _q_doc_stats(spark, sf_dir):
     # function except n_pieces (lookaround regex — unsupported by
     # DuckDB's RE2) and the xxhash64 fingerprint (Spark-only hash, so
     # the md5 rendition stands in). Ratios rounded to 6 in both engines.
+    # r7: all token-derived columns come from ONE bound evaluation of
+    # the token array (textstats._stats_struct expanded through a
+    # Generate node) instead of re-splitting the text per column —
+    # identical values, hash-verified.
     from pyspark.sql import functions as F
 
     from ..operators import textstats as ts
+    from ..operators.hof import hof_let
 
     _reg(spark, sf_dir, "documents")
     t = F.col("text")
-    return spark.table("documents").select(
-        "doc_id",
-        ts.token_count(t).alias("n_tokens"),
-        F.length(t).cast("long").alias("n_chars"),
-        F.round(ts.alpha_ratio(t), 6).alias("alpha_ratio"),
-        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
-        ts.quality_score(t).alias("quality"),
-        ts.detect_lang(t).alias("lang_pred"),
-        ts.fingerprint_md5(t).alias("fingerprint_md5"),
+    stats = hof_let(ts._tokens(t), lambda tv: ts._stats_struct(tv, t))
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.length(t).cast("long").alias("n_chars"),
+            F.round(ts.alpha_ratio(t), 6).alias("alpha_ratio"),
+            F.inline(F.array(stats)),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars",
+            "alpha_ratio",
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            "quality",
+            "lang_pred",
+            F.md5("norm_text").alias("fingerprint_md5"),
+        )
     )
 
 

@@ -51,6 +51,16 @@ def main():
         "j3_window_self_join": qs["j3_window_self_join"](spark, sf_dir),
         "media_feature_extract": qs["media_feature_extract"](spark, sf_dir),
         "ann_ivf_topk": qs["ann_ivf_topk"](spark, sf_dir),
+        # batch 2: dedup / text / ANN operators (plan construction for
+        # some of these executes their eager localCheckpoints — fine,
+        # the dump runs offline)
+        "dedup_minhash_pairs": qs["dedup_minhash_pairs"](spark, sf_dir),
+        "dedup_ngram_jaccard": qs["dedup_ngram_jaccard"](spark, sf_dir),
+        "dedup_simhash_pairs": qs["dedup_simhash_pairs"](spark, sf_dir),
+        "text_winnow_fingerprints": qs["text_winnow_fingerprints"](spark, sf_dir),
+        "text_document_stats": qs["text_document_stats"](spark, sf_dir),
+        "ann_lsh_self_join": qs["ann_lsh_self_join"](spark, sf_dir),
+        "ann_cosine_pairs": qs["ann_cosine_pairs"](spark, sf_dir),
     }
     for name, df in out.items():
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
