@@ -113,7 +113,117 @@ def _stacked_conv_weights(cw: np.ndarray, cb: np.ndarray) -> np.ndarray:
     return Wb
 
 
+# ---------------------------------------------------------------------------
+# Projection-table conv (r7, guide §1.2: don't recompute what a lookup
+# can answer). Every conv input feature is an EMBEDDING LOOKUP
+# ([word; pos1; pos2]), and the conv is linear in its input, so the
+# per-tap projection of each embedding ROW can be precomputed once per
+# weight set: Pw[k] = word_emb @ conv_w[:, :wsz, k].T (V, H), likewise
+# for the two (2L)-row position tables. The per-row conv then collapses
+# from an im2col GEMM (2*Lc*(K*C+1)*H FLOPs/row) to 3K row-gathers +
+# adds (~20x fewer ops at the reference dims). Gated by table size: the
+# gathers only win while the tables stay cache-resident (word table is
+# V*K*H floats), so vocabularies past _PROJ_MAX_BYTES keep the blocked
+# im2col GEMM — the right algorithm for a 400k-row GloVe vocab, where
+# the projected table would be ~1 GB per worker process.
+#
+# Numerics: the reduction order changes (per-table partial dot products
+# summed pairwise instead of one fused K*C+1 dot) — measured max delta
+# 4.2e-7 vs the fused GEMM on the corpus mix, the same class as the r2
+# fused-GEMM reorder and inside the reference's own 1e-6 golden
+# tolerance (tests/test_inference.py:11). Pinned by
+# test_projected_conv_matches_gemm.
+# ---------------------------------------------------------------------------
+
+_PROJ_MAX_BYTES = 8 * 1024 * 1024
+_PROJ_CACHE: dict = {}
+
+
+def _projected_tables(weights: dict):
+    """(Pw, Pp1, Pp2) each (K, rows, H) float32, or None when the word
+    table would blow the cache gate. Cached per weight set (strong ref
+    pins the key array, same pattern as _WB_CACHE)."""
+    cw = weights["conv_w"]
+    we, p1e, p2e = weights["word_emb"], weights["pos1_emb"], weights["pos2_emb"]
+    # the tables derive from all FOUR source arrays — pin each identity
+    # (a caller may legitimately swap word_emb under the same conv_w,
+    # e.g. the trained-ckpt PAD-row tests)
+    srcs = (cw, we, p1e, p2e)
+    key = tuple(id(a) for a in srcs)
+    e = _PROJ_CACHE.get(key)
+    if e is not None and all(a is b for a, b in zip(e[0], srcs)):
+        return e[1]
+    H, C, K = cw.shape
+    V = we.shape[0]
+    if V * K * H * 4 > _PROJ_MAX_BYTES:
+        tables = None
+    else:
+        wsz = we.shape[1]
+        psz = p1e.shape[1]
+        Pw = np.empty((K, V, H), dtype=np.float32)
+        Pp1 = np.empty((K, p1e.shape[0], H), dtype=np.float32)
+        Pp2 = np.empty((K, p2e.shape[0], H), dtype=np.float32)
+        for k in range(K):
+            Pw[k] = we @ cw[:, :wsz, k].T
+            Pp1[k] = p1e @ cw[:, wsz : wsz + psz, k].T
+            Pp2[k] = p2e @ cw[:, wsz + psz :, k].T
+        tables = (Pw, Pp1, Pp2)
+    if len(_PROJ_CACHE) >= 16:
+        _PROJ_CACHE.clear()
+    _PROJ_CACHE[key] = (srcs, tables)
+    return tables
+
+
+def _conv_slabs_projected(
+    token, pos1, pos2, weights, Lc: int, tables, slab: int = _CONV_SLAB
+):
+    """The projected-table rendition of _conv_slabs_gemm: same yielded
+    contract (bias included, NO activation, slab L2-resident). Each
+    output window t sums, per tap k (offset k-1), the projected word +
+    pos1 + pos2 rows of token position t+k-1; windows whose tap falls
+    off the [0, Lc) edge skip it — the zero-padded feature's projection
+    is exactly 0, so skipping equals adding it."""
+    Pw, Pp1, Pp2 = tables
+    cb = weights["conv_b"]
+    H = Pw.shape[2]
+    K = Pw.shape[0]
+    B = token.shape[0]
+    out = _scratch("projconv_out", (slab, Lc, H))
+    for lo in range(0, B, slab):
+        hi = min(lo + slab, B)
+        S = hi - lo
+        sout = out[:S]
+        sout[:] = cb
+        tok = token[lo:hi, :Lc]
+        p1 = pos1[lo:hi, :Lc]
+        p2 = pos2[lo:hi, :Lc]
+        for k in range(K):
+            off = k - (K - 1) // 2  # window t covers tokens t+off
+            lo_t = max(0, -off)
+            hi_t = Lc - max(0, off)
+            dst = sout[:, lo_t:hi_t]
+            sl = slice(lo_t + off, hi_t + off)
+            dst += Pw[k][tok[:, sl]]
+            dst += Pp1[k][p1[:, sl]]
+            dst += Pp2[k][p2[:, sl]]
+        yield lo, hi, sout
+
+
 def _conv_slabs(token, pos1, pos2, weights, Lc: int, slab: int = _CONV_SLAB):
+    """Dispatch: projection-table path for cache-resident vocabularies
+    (measured 2.4x solo / 2.35x at 32 procs on the bench model), blocked
+    im2col GEMM otherwise. Both yield identical (lo, hi, (S, Lc, H))
+    slabs with bias included and no activation."""
+    tables = _projected_tables(weights)
+    if tables is not None:
+        yield from _conv_slabs_projected(
+            token, pos1, pos2, weights, Lc, tables, slab
+        )
+    else:
+        yield from _conv_slabs_gemm(token, pos1, pos2, weights, Lc, slab)
+
+
+def _conv_slabs_gemm(token, pos1, pos2, weights, Lc: int, slab: int = _CONV_SLAB):
     """Yield (lo, hi, conv_slab) where conv_slab is the (S, Lc, H) conv
     output (bias included, NO activation) for rows lo:hi — L2-resident,
     for the caller to pool/gate in place before the next slab evicts it.

@@ -140,3 +140,61 @@ def test_bag_order_sensitivity_documented(model):
         kernels.bag_attention_eval(rep[perm], W),
         atol=1e-5,
     )
+
+
+def _random_batch(W, n=512, seed=7):
+    """Corpus-shaped random batch (short real lengths, pad tail)."""
+    rng = np.random.default_rng(seed)
+    Lm = int(W["max_length"])
+    V = W["word_emb"].shape[0]
+    n_real = np.clip(rng.normal(16, 4, n).astype(np.int64), 3, Lm)
+    token = np.full((n, Lm), V - 1, dtype=np.int64)
+    for i in range(n):
+        token[i, : n_real[i]] = rng.integers(0, V - 3, n_real[i])
+    from opennre_spark.functions.encoding import positions_from_starts
+
+    h = rng.integers(0, 10, n).astype(np.int64)
+    t = rng.integers(0, 10, n).astype(np.int64)
+    pos = positions_from_starts(h, t, n_real, Lm, with_mask=True)
+    return token, pos["pos1"], pos["pos2"], pos["mask"], n_real
+
+
+def test_projected_conv_matches_gemm(model, monkeypatch):
+    """r7 projection-table conv: same conv output as the blocked im2col
+    GEMM within the documented reorder tolerance (measured max 4.2e-7;
+    bar 1e-6 = the reference golden tolerance), for BOTH the CNN maxpool
+    and the PCNN piecewise pool, across truncated and full-length
+    paths."""
+    _, W = model
+    token, pos1, pos2, mask, n_real = _random_batch(W)
+    assert kernels._projected_tables(W) is not None  # gate admits V=153
+    proj_cnn = kernels.cnn_forward(token, pos1, pos2, W, n_real=n_real)
+    proj_full = kernels.cnn_forward(token, pos1, pos2, W, n_real=None)
+    Wp = make_weights(len(relations.REL2ID), W["word_emb"].shape[0], pcnn=True)
+    proj_pcnn = kernels.pcnn_forward(token, pos1, pos2, mask, Wp, n_real=n_real)
+    # force the GEMM path: gate at 0 bytes + fresh cache
+    monkeypatch.setattr(kernels, "_PROJ_MAX_BYTES", 0)
+    monkeypatch.setattr(kernels, "_PROJ_CACHE", {})
+    assert kernels._projected_tables(W) is None
+    gemm_cnn = kernels.cnn_forward(token, pos1, pos2, W, n_real=n_real)
+    gemm_full = kernels.cnn_forward(token, pos1, pos2, W, n_real=None)
+    gemm_pcnn = kernels.pcnn_forward(token, pos1, pos2, mask, Wp, n_real=n_real)
+    np.testing.assert_allclose(proj_cnn, gemm_cnn, atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(proj_full, gemm_full, atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(proj_pcnn, gemm_pcnn, atol=1e-6, rtol=1e-5)
+
+
+def test_projected_tables_pin_every_source_array(model):
+    """The projection cache must rebuild when ANY source table changes
+    identity — a caller may swap word_emb under the same conv_w (the
+    trained-ckpt PAD-row tests do exactly that)."""
+    _, W0 = model
+    t0 = kernels._projected_tables(W0)
+    assert t0 is kernels._projected_tables(W0)  # cache hit
+    W = dict(W0)
+    W["word_emb"] = W0["word_emb"].copy()
+    W["word_emb"][-1] = 0.3
+    t1 = kernels._projected_tables(W)
+    assert t1 is not t0
+    # tap-0 word rows must reflect the swapped embedding
+    assert not np.allclose(t0[0][0, -1], t1[0][0, -1])
