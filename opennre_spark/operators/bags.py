@@ -220,62 +220,12 @@ def bag_scores_batched(
     )
 
     def run(batches):
-        if method != "one":
-            if encoder in ("bert", "bert_entity"):
-                from ..functions.bert_kernels import default_bert_model
+        weights = (
+            _bag_weights(method, encoder, schema, ckpt) if method != "one" else None
+        )
 
-                _, weights = default_bert_model(
-                    entity=(encoder == "bert_entity"), schema=schema, ckpt=ckpt
-                )
-                if "att_diag" not in weights:
-                    weights = dict(weights)
-                    weights["att_diag"] = np.ones(
-                        weights["fc_w"].shape[1], np.float32
-                    )
-            else:
-                from ..functions.weights import default_model
-
-                _, weights = default_model(
-                    pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
-                )
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from .scoring import _list_f32
-
-        def bag_out(h_id, t_id, mat, n_members):
-            """Kernel over one COMPLETE bag's stable-ordered matrix."""
-            if bag_size > 0:
-                mat = mat[resize_indices(n_members, bag_size, h_id, t_id, bag_seed)]
-            if method == "one":
-                out = kernels.bag_one_eval(mat)
-            elif method == "att":
-                out = kernels.bag_attention_eval(mat, weights)
-            else:
-                out = kernels.bag_average_eval(mat, weights)
-            return out.astype(np.float32), len(mat)
-
-        # carry state for a bag spanning record-batch boundaries
-        cur_key: tuple | None = None
-        cur_parts: list[np.ndarray] = []
-        cur_n = 0  # true member count (cap path may drop rows from parts)
-
-        def finish():
-            nonlocal cur_key, cur_parts, cur_n
-            mat = (
-                np.concatenate(cur_parts, 0)
-                if len(cur_parts) != 1
-                else cur_parts[0]
-            )
-            scores, n_out = bag_out(cur_key[0], cur_key[1], mat, cur_n)
-            out = (cur_key[0], cur_key[1], n_out, scores)
-            cur_key, cur_parts, cur_n = None, [], 0
-            return out
-
-        for rb in batches:
+        def mat_of(rb):
             n = rb.num_rows
-            if not n:
-                continue
             vv = rb.column(value_col)
             vv_offs = np.asarray(vv.offsets)
             d_sizes = np.diff(vv_offs)
@@ -283,67 +233,263 @@ def bag_scores_batched(
             if len(d_sizes) and not np.all(d_sizes == d):
                 raise ValueError("ragged member vectors in bag assembly")
             flat = np.asarray(vv.values, dtype=np.float32)
-            mat_all = flat[int(vv_offs[0]) : int(vv_offs[0]) + n * d].reshape(n, d)
-            ha, ta = rb.column("h_id"), rb.column("t_id")
-            if n > 1:
-                chg = pc.or_(
-                    pc.not_equal(ha.slice(1), ha.slice(0, n - 1)),
-                    pc.not_equal(ta.slice(1), ta.slice(0, n - 1)),
-                )
-                bounds = np.flatnonzero(
-                    chg.to_numpy(zero_copy_only=False)
-                ) + 1
+            return flat[int(vv_offs[0]) : int(vv_offs[0]) + n * d].reshape(n, d)
+
+        yield from _bag_walk(
+            batches, mat_of, method, weights, bag_cap, bag_size, bag_seed
+        )
+
+    return part.mapInArrow(run, schema=BAG_SCHEMA)
+
+
+def _bag_weights(method: str, encoder: str, schema: str, ckpt: str | None) -> dict:
+    """Model weights for the att/avg bag kernels (att_diag is ones for
+    the BERT encoders, bag_attention.py:29)."""
+    if encoder in ("bert", "bert_entity"):
+        from ..functions.bert_kernels import default_bert_model
+
+        _, weights = default_bert_model(
+            entity=(encoder == "bert_entity"), schema=schema, ckpt=ckpt
+        )
+        if "att_diag" not in weights:
+            weights = dict(weights)
+            weights["att_diag"] = np.ones(weights["fc_w"].shape[1], np.float32)
+    else:
+        from ..functions.weights import default_model
+
+        _, weights = default_model(
+            pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
+        )
+    return weights
+
+
+def _bag_walk(batches, mat_of, method, weights, bag_cap, bag_size, bag_seed):
+    """Shared streaming walk over (h_id, t_id)-sorted record batches:
+    detect bag boundaries, assemble each bag's stable-ordered member
+    matrix (carrying at most one open bag across batch boundaries),
+    apply the cap/resize semantics, run the bag kernel, emit BAG_SCHEMA
+    record batches. `mat_of(rb)` supplies the (n_rows, d) float32 member
+    matrix aligned with the batch rows — read from a `rep`/`scores`
+    column (bag_scores_batched) or computed in place by the scoring
+    kernel (bag_scores_fused)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .scoring import _list_f32
+
+    def bag_out(h_id, t_id, mat, n_members):
+        """Kernel over one COMPLETE bag's stable-ordered matrix."""
+        if bag_size > 0:
+            mat = mat[resize_indices(n_members, bag_size, h_id, t_id, bag_seed)]
+        if method == "one":
+            out = kernels.bag_one_eval(mat)
+        elif method == "att":
+            out = kernels.bag_attention_eval(mat, weights)
+        else:
+            out = kernels.bag_average_eval(mat, weights)
+        return out.astype(np.float32), len(mat)
+
+    # carry state for a bag spanning record-batch boundaries
+    cur_key: tuple | None = None
+    cur_parts: list[np.ndarray] = []
+    cur_n = 0  # true member count (cap path may drop rows from parts)
+
+    def finish():
+        nonlocal cur_key, cur_parts, cur_n
+        mat = (
+            np.concatenate(cur_parts, 0)
+            if len(cur_parts) != 1
+            else cur_parts[0]
+        )
+        scores, n_out = bag_out(cur_key[0], cur_key[1], mat, cur_n)
+        out = (cur_key[0], cur_key[1], n_out, scores)
+        cur_key, cur_parts, cur_n = None, [], 0
+        return out
+
+    for rb in batches:
+        n = rb.num_rows
+        if not n:
+            continue
+        mat_all = mat_of(rb)
+        ha, ta = rb.column("h_id"), rb.column("t_id")
+        if n > 1:
+            chg = pc.or_(
+                pc.not_equal(ha.slice(1), ha.slice(0, n - 1)),
+                pc.not_equal(ta.slice(1), ta.slice(0, n - 1)),
+            )
+            bounds = np.flatnonzero(
+                chg.to_numpy(zero_copy_only=False)
+            ) + 1
+        else:
+            bounds = np.empty(0, dtype=np.int64)
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        h_first = ha.take(pa.array(starts, type=pa.int64())).to_pylist()
+        t_first = ta.take(pa.array(starts, type=pa.int64())).to_pylist()
+        done: list[tuple] = []
+        for i in range(len(starts)):
+            lo, hi = int(starts[i]), int(ends[i])
+            key = (h_first[i], t_first[i])
+            if cur_key is not None and key != cur_key:
+                done.append(finish())
+            if cur_key is None:
+                cur_key = key
+            run_n = hi - lo
+            if bag_cap > 0 and bag_size == 0:
+                take = max(0, min(run_n, bag_cap - sum(
+                    p.shape[0] for p in cur_parts
+                )))
             else:
-                bounds = np.empty(0, dtype=np.int64)
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [n]))
-            h_first = ha.take(pa.array(starts, type=pa.int64())).to_pylist()
-            t_first = ta.take(pa.array(starts, type=pa.int64())).to_pylist()
-            done: list[tuple] = []
-            for i in range(len(starts)):
-                lo, hi = int(starts[i]), int(ends[i])
-                key = (h_first[i], t_first[i])
-                if cur_key is not None and key != cur_key:
-                    done.append(finish())
-                if cur_key is None:
-                    cur_key = key
-                run_n = hi - lo
-                if bag_cap > 0 and bag_size == 0:
-                    take = max(0, min(run_n, bag_cap - sum(
-                        p.shape[0] for p in cur_parts
-                    )))
-                else:
-                    take = run_n
-                if take:
-                    cur_parts.append(mat_all[lo : lo + take])
-                cur_n += run_n
-            # every run except possibly the last is complete inside this
-            # batch — but a run only ENDS when the next key differs, so
-            # the final run stays open until the next batch (or EOF)
-            if done:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array([x[0] for x in done], type=pa.string()),
-                        pa.array([x[1] for x in done], type=pa.string()),
-                        pa.array(
-                            np.asarray([x[2] for x in done], dtype=np.int32),
-                            type=pa.int32(),
-                        ),
-                        _list_f32(np.stack([x[3] for x in done])),
-                    ],
-                    names=["h_id", "t_id", "n_sentences", "scores"],
-                )
-        if cur_key is not None:
-            x = finish()
+                take = run_n
+            if take:
+                cur_parts.append(mat_all[lo : lo + take])
+            cur_n += run_n
+        # every run except possibly the last is complete inside this
+        # batch — but a run only ENDS when the next key differs, so
+        # the final run stays open until the next batch (or EOF)
+        if done:
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([x[0]], type=pa.string()),
-                    pa.array([x[1]], type=pa.string()),
-                    pa.array(np.asarray([x[2]], dtype=np.int32), type=pa.int32()),
-                    _list_f32(x[3][None, :]),
+                    pa.array([x[0] for x in done], type=pa.string()),
+                    pa.array([x[1] for x in done], type=pa.string()),
+                    pa.array(
+                        np.asarray([x[2] for x in done], dtype=np.int32),
+                        type=pa.int32(),
+                    ),
+                    _list_f32(np.stack([x[3] for x in done])),
                 ],
                 names=["h_id", "t_id", "n_sentences", "scores"],
             )
+    if cur_key is not None:
+        x = finish()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([x[0]], type=pa.string()),
+                pa.array([x[1]], type=pa.string()),
+                pa.array(np.asarray([x[2]], dtype=np.int32), type=pa.int32()),
+                _list_f32(x[3][None, :]),
+            ],
+            names=["h_id", "t_id", "n_sentences", "scores"],
+        )
+
+
+def bag_scores_fused(
+    instances: DataFrame,
+    method: str = "att",
+    bag_cap: int = 0,
+    bag_size: int = 0,
+    bag_seed: int = 42,
+    encoder: str = "cnn",
+    schema: str = "reduced",
+    ckpt: str | None = None,
+    micro_batch: int | None = None,
+) -> DataFrame:
+    """att/avg bag aggregation with the SCORING FUSED INTO the bag
+    kernel (r7, guide §2.3 "shuffle keys and metadata instead of
+    payloads"): the bag exchange carries the ~200 B/row scoring inputs
+    (raw text+spans, or the packed tok_bin encode) instead of the
+    (H,)-dim rep — at the reference dims that is ~5x fewer shuffle
+    bytes and one fewer Arrow crossing of the rep matrix. Rows shuffle
+    by (h_id, t_id), external-sort by the stable member key, and ONE
+    mapInArrow pass scores each record batch (the same
+    _score_token_block every other path uses) and streams the rep rows
+    straight into the bag walk — the rep never exists outside Python.
+
+    Scores move ~1e-7 vs the two-pass bag_scores_batched route (Arrow
+    micro-batch composition differs — the same documented variance the
+    encoded-vs-fused split already exhibits); member selection, stable
+    ordering, cap/resize semantics and n_sentences are IDENTICAL
+    (shared _bag_walk). CNN/PCNN only; BERT bag modes keep the two-pass
+    route (their encode is model-specific and the transformer dwarfs
+    the shuffle).
+
+    Input flavors (detected by column): an encode_instances() table
+    (tok_bin/h_start/t_start/n_tok) or raw instance rows
+    (text/h_begin/h_end/t_begin/t_end).
+    """
+    if method not in ("att", "avg"):
+        raise ValueError(
+            f"bag_scores_fused supports att/avg, got {method!r} "
+            "('one' decomposes natively — see bag_one_native)"
+        )
+    if encoder not in ("cnn", "pcnn"):
+        raise ValueError("bag_scores_fused supports the cnn/pcnn encoders only")
+    from .. import config
+
+    mb = micro_batch if micro_batch is not None else config.EVAL_MICRO_BATCH
+    encoded_input = "tok_bin" in instances.columns
+    sort_cols = [c for c in _SORT_COLS if c in instances.columns]
+    score_cols = (
+        ["tok_bin", "h_start", "t_start", "n_tok"]
+        if encoded_input
+        else ["text", "h_begin", "h_end", "t_begin", "t_end"]
+    )
+    cols = ["h_id", "t_id"] + sort_cols + [
+        c for c in score_cols if c not in sort_cols
+    ]
+    part = (
+        instances.select(*cols)
+        .repartition("h_id", "t_id")
+        .sortWithinPartitions("h_id", "t_id", *sort_cols)
+    )
+
+    def run(batches):
+        from ..functions.weights import default_model
+        from .scoring import _int_col, _score_token_block, _tokens_from_binary
+
+        # one model: the scoring kernel and the bag kernel share it
+        # (encoder is cnn/pcnn here, so _bag_weights == default_model)
+        vocab, weights = default_model(
+            pcnn=(encoder == "pcnn"), schema=schema, ckpt=ckpt
+        )
+        _w = weights
+        L = int(_w["max_length"])
+
+        if encoded_input:
+
+            def mat_of(rb):
+                tok_col = rb.column("tok_bin")
+                item = len(tok_col[0].as_py()) if rb.num_rows else L * 4
+                if item != L * 4:
+                    raise ValueError(
+                        f"encoded table was built at max_length L={item // 4}, "
+                        f"but the checkpoint/schema expects L={L} — re-run "
+                        "encode_instances against the same model configuration"
+                    )
+                token = _tokens_from_binary(tok_col, L).astype(np.int64)
+                _, rep = _score_token_block(
+                    token,
+                    _int_col(rb, "h_start").astype(np.int64),
+                    _int_col(rb, "t_start").astype(np.int64),
+                    _int_col(rb, "n_tok").astype(np.int64),
+                    _w, (encoder == "pcnn"), "softmax", mb, True,
+                )
+                return rep
+
+        else:
+            from ..functions.encoding import encode_tokens_batch
+
+            pad_id = vocab["[PAD]"]
+            unk_id = vocab["[UNK]"]
+
+            def mat_of(rb):
+                enc = encode_tokens_batch(
+                    rb.column("text").to_pylist(),
+                    _int_col(rb, "h_begin"),
+                    _int_col(rb, "h_end"),
+                    _int_col(rb, "t_begin"),
+                    _int_col(rb, "t_end"),
+                    vocab, L, pad_id, unk_id,
+                )
+                _, rep = _score_token_block(
+                    enc["token"], enc["p1_start"], enc["p2_start"],
+                    enc["n_real"], _w, (encoder == "pcnn"), "softmax", mb, True,
+                )
+                return rep
+
+        yield from _bag_walk(
+            batches, mat_of, method, weights, bag_cap, bag_size, bag_seed
+        )
 
     return part.mapInArrow(run, schema=BAG_SCHEMA)
 

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import config, relations
-from .operators.bags import bag_scores_batched, explode_bag_scores
+from .operators.bags import (
+    bag_scores_batched,
+    bag_scores_fused,
+    explode_bag_scores,
+)
 from .operators.candidates import candidate_pairs
 from .operators.mentions import detect_mentions
 from .operators.scoring import encode_instances, score_encoded, score_instances
@@ -115,6 +119,16 @@ def extract_triples(
         encoder = "pcnn" if pcnn else "cnn"
     rel2id = relations.rel2id_for(schema)
     id2rel = {v: k for k, v in rel2id.items()}
+    # r7: att/avg bag modes fuse the scoring INTO the bag kernel (the
+    # bag exchange then carries ~200 B scoring inputs instead of the
+    # (H,)-dim rep — see bag_scores_fused). dedup_scoring keeps the
+    # two-pass route (its whole point is scoring distinct rows once,
+    # pre-shuffle); BERT keeps it too (model-specific encode).
+    fused_bags = (
+        mode in ("att", "avg")
+        and encoder in ("cnn", "pcnn")
+        and not dedup_scoring
+    )
 
     if encoded is not None:
         if dedup_scoring:
@@ -159,9 +173,12 @@ def extract_triples(
         # (names, end offsets) dies here instead of riding two Arrow
         # crossings.
         n_score_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
+        # fused bag modes skip the round-robin scoring repartition: the
+        # bag key exchange immediately follows and pins parallelism
+        # itself — two back-to-back exchanges would shuffle twice
         instances = candidate_pairs(
             mentions, window_turns=window_turns,
-            repartition=None if dedup_scoring else n_score_parts,
+            repartition=None if (dedup_scoring or fused_bags) else n_score_parts,
         )
         scoring_cols = ["text", "h_begin", "h_end", "t_begin", "t_end", "h_id", "t_id"]
         if mode != "sentence":
@@ -213,6 +230,24 @@ def extract_triples(
             .agg(
                 F.max("pred_score").alias("score"),
                 F.count(F.lit(1)).alias("n_support"),
+            )
+        )
+
+    if fused_bags:
+        bag_in = pruned if encoded is not None else instances
+        bags = bag_scores_fused(
+            bag_in, method=mode, bag_cap=bag_cap, bag_size=bag_size,
+            encoder=encoder, schema=schema, ckpt=ckpt,
+        )
+        per_rel = explode_bag_scores(bags, id2rel)
+        return (
+            per_rel.filter(F.col("score") >= F.lit(threshold))
+            .select(
+                F.col("h_id").alias("subj"),
+                F.col("relation").alias("pred"),
+                F.col("t_id").alias("obj"),
+                "score",
+                F.col("n_sentences").alias("n_support"),
             )
         )
 

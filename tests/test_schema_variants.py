@@ -322,3 +322,79 @@ def test_pcnn_pipeline_parity(spark, transcripts):
         for r in extract_triples(transcripts, mode="sentence", pcnn=True).collect()
     }
     assert got == want
+
+
+def test_bag_scores_fused_matches_two_pass(spark, transcripts):
+    """r7 fused bag path (scoring inside the bag kernel, slim shuffle):
+    identical bag keys, member counts and selection vs the two-pass
+    score-then-aggregate route; scores within the 1e-6 parity bar (the
+    two plans compose Arrow micro-batches differently — the same
+    documented float32 variance the encoded-vs-fused split shows).
+    Covers raw-instance AND pre-encoded input flavors, the cap and
+    resize variants, and the PCNN encoder."""
+    from opennre_spark.operators.bags import bag_scores_batched, bag_scores_fused
+    from opennre_spark.operators.scoring import encode_instances
+
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions).cache()
+    encoded = encode_instances(instances).cache()
+    try:
+        for enc_name, kw in (
+            ("cnn", {"method": "att"}),
+            ("cnn", {"method": "avg"}),
+            ("cnn", {"method": "att", "bag_cap": 3}),
+            ("cnn", {"method": "att", "bag_size": 4}),
+            ("pcnn", {"method": "att"}),
+        ):
+            scored = score_instances(
+                instances, with_rep=True, encoder=enc_name
+            )
+            two_pass = {
+                (r.h_id, r.t_id): (r.n_sentences, tuple(r.scores))
+                for r in bag_scores_batched(scored, encoder=enc_name, **kw).collect()
+            }
+            for bag_in in (instances, encoded):
+                fused = {
+                    (r.h_id, r.t_id): (r.n_sentences, tuple(r.scores))
+                    for r in bag_scores_fused(
+                        bag_in, encoder=enc_name, **kw
+                    ).collect()
+                }
+                assert fused.keys() == two_pass.keys(), (enc_name, kw)
+                for k, (n, s) in two_pass.items():
+                    n2, s2 = fused[k]
+                    assert n == n2, (enc_name, kw, k)
+                    assert len(s) == len(s2)
+                    assert max(
+                        abs(a - b) for a, b in zip(s, s2)
+                    ) < 1e-6, (enc_name, kw, k)
+    finally:
+        instances.unpersist()
+        encoded.unpersist()
+
+
+def test_fused_bag_plan_single_exchange(spark, transcripts):
+    """The fused att path from a pre-encoded table is ONE hash exchange
+    on the bag key + external sort + the streaming kernel — no rep
+    column, no Aggregate/Window/collect_list, no second exchange."""
+    import contextlib
+    import io
+    import re
+
+    from opennre_spark.operators.bags import bag_scores_fused
+    from opennre_spark.operators.scoring import encode_instances
+
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    encoded = encode_instances(candidate_pairs(mentions))
+    # cut the upstream lineage so the plan under test is just the bag path
+    encoded = spark.createDataFrame(encoded.limit(50).collect(), encoded.schema)
+    bags = bag_scores_fused(encoded, method="att")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bags.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(h_id" in plan, plan
+    assert "collect_list" not in plan, plan
+    assert "Aggregate" not in plan, plan
+    assert " rep#" not in plan, plan
