@@ -398,3 +398,41 @@ def test_fused_bag_plan_single_exchange(spark, transcripts):
     assert "collect_list" not in plan, plan
     assert "Aggregate" not in plan, plan
     assert " rep#" not in plan, plan
+
+
+def test_fused_bag_spanning_record_batches(spark, transcripts):
+    """A bag larger than the Arrow batch size spans multiple record
+    batches in the fused kernel: its members are scored in different
+    batches and concatenated by the cross-batch carry. Counts and
+    member selection must stay identical to the two-pass route (cap
+    enforced across the span too); scores within the 1e-6 bar."""
+    from opennre_spark.operators.bags import bag_scores_batched, bag_scores_fused
+
+    mentions = detect_mentions(transcripts, relations.gazetteer())
+    instances = candidate_pairs(mentions).cache()
+    scored = score_instances(instances, with_rep=True)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        baseline = {
+            (r.h_id, r.t_id): (r.n_sentences, tuple(r.scores))
+            for r in bag_scores_batched(scored, method="att").collect()
+        }
+        base_cap = {
+            (r.h_id, r.t_id): (r.n_sentences, tuple(r.scores))
+            for r in bag_scores_batched(scored, method="att", bag_cap=5).collect()
+        }
+        assert any(n > 4 for n, _ in baseline.values()), "need a bag > batch size"
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        for kw, want in (({}, baseline), ({"bag_cap": 5}, base_cap)):
+            fused = {
+                (r.h_id, r.t_id): (r.n_sentences, tuple(r.scores))
+                for r in bag_scores_fused(instances, method="att", **kw).collect()
+            }
+            assert fused.keys() == want.keys(), kw
+            for k, (n, s) in want.items():
+                n2, s2 = fused[k]
+                assert n == n2, (kw, k)
+                assert max(abs(a - b) for a, b in zip(s, s2)) < 1e-6, (kw, k)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        instances.unpersist()
